@@ -1,0 +1,94 @@
+"""Solver configuration.
+
+Every algorithm constant of the reference Krylov-FSP-SSA implementation is
+exposed here with its reference default (constants documented in
+``/root/reference/src/fsp/KrylovSolver.f90:47,77-87,136-137,173,194`` and
+``/root/reference/src/state_space/StateSpace.f90:10-11``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """All tunables of the Krylov-FSP-SSA algorithm.
+
+    Defaults replicate the reference Fortran behaviour so that solutions agree
+    within the FSP tolerance.
+    """
+
+    # ---- Krylov subspace bounds (KrylovSolver.f90:47) -------------------
+    m_min: int = 10
+    m_max: int = 100
+    #: incomplete-orthogonalization window (KrylovSolver.f90:136-137)
+    qiop: int = 2
+
+    # ---- step control (KrylovSolver.f90:77-87) --------------------------
+    #: local truncation error safety factor DELTA
+    delta: float = 1.2
+    #: stepsize shrinking factor GAMMA
+    gamma: float = 0.9
+    #: diagonal Pade degree for the small expm (0 would select Chebyshev)
+    ideg: int = 6
+    #: max number of integration steps; 0 = unlimited
+    mxstep: int = 0
+    #: max rejections per step; 0 = unlimited
+    mxreject: int = 0
+    #: happy-breakdown tolerance (KrylovSolver.f90:173)
+    break_tol: float = 1.0e-7
+    #: assumed operator norm (KrylovSolver.f90:129)
+    anorm: float = 1.0
+
+    # ---- FSP control ----------------------------------------------------
+    #: initial drop threshold (KrylovSolver.f90:194, StateSpace.f90:416)
+    droptol_start: float = 1.0e-8
+    #: states whose inflow (A w)_i exceeds this are never dropped
+    #: (StateSpace.f90:491)
+    inflow_guard: float = 1.0e-8
+    #: compaction only happens when more than this fraction is droppable
+    #: (StateSpace.f90:497)
+    drop_fraction: float = 0.1
+    #: consecutive FSP rejections before abandoning the step for SSA
+    #: expansion (KrylovSolver.f90:466)
+    max_fsp_rejects: int = 5
+    #: number of 1-step reachability expansions at start-up
+    #: (KrylovSolver.f90:132-134)
+    init_onestep_expansions: int = 5
+
+    # ---- state space ----------------------------------------------------
+    #: hard cap on FSP size (reference NMAX, StateSpace.f90:10)
+    max_states: int = 6_291_469
+    #: per-species molecule-count cap (reference MAXNUMBERMOLECULES,
+    #: StateSpace.f90:11). The actual per-model key radix may be reduced so
+    #: that packed keys fit in int64 (see statespace/encoding.py).
+    max_molecules: int = 10_000
+    #: initial padded capacity for device arrays
+    init_capacity: int = 1 << 12
+    #: capacity growth factor when the state set outgrows its bucket
+    capacity_growth: int = 2
+
+    # ---- SSA expansion --------------------------------------------------
+    #: max SSA steps per walk in the batched device SSA extender; the
+    #: reference walks until the local time budget is exhausted
+    #: (StateSpace.f90:571-629) — a bounded walk plus the FSP criterion
+    #: gives the same safety guarantee.
+    ssa_max_steps: int = 100
+    #: RNG seed for SSA walks
+    seed: int = 0
+
+    # ---- numerics -------------------------------------------------------
+    #: probability vector / Krylov basis dtype ("float64" or "float32");
+    #: the FSP criterion and reductions always run in float64.
+    dtype: str = "float64"
+
+    # ---- observability --------------------------------------------------
+    #: 0 = silent, 1 = per-step stats (reference ITRACE/PRINT_STATS)
+    verbosity: int = 0
+    #: take at most this many accepted steps inside one jitted device loop
+    #: before returning control to the host (bounds host-sync latency)
+    max_steps_per_call: int = 1_000
+
+
+DEFAULT_CONFIG = SolverConfig()

@@ -1,0 +1,106 @@
+"""Dense matrix exponential of the small Krylov Hessenberg matrix.
+
+Replicates EXPOKIT's ``DGPADM``/``DGPADMNORM``
+(``/root/reference/src/expokit/dgpadm.f:2-339``): irreducible diagonal Padé
+of degree ``ideg`` with scaling-and-squaring, plus the ``hnorm`` output
+(= |t| * inf-norm of H, dgpadm.f:71-83) that feeds the reference's Krylov
+cost model.
+
+TPU-first twist: the reference computes on an ``mx x mx`` leading block with
+``mx`` changing between steps.  Dynamic shapes would force recompilation, so
+we always compute on the fixed (m_max+2)^2 matrix with rows/columns >= mx
+masked to zero.  The Padé recurrences preserve the block-diagonal structure
+[[H, 0], [0, 0]], whose exponential is [[exp(H), 0], [0, I]] — the leading
+block is bit-for-bit the same computation as the reference's, and the
+padding block stays harmless (it solves to the identity).
+
+The linear solve runs in float64.  All matrices here are tiny
+((m_max+2)^2 <= 102^2), so even with TPU float64 emulation this is a
+negligible fraction of a solver step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _pade_coefficients(ideg: int) -> list[float]:
+    """c_0..c_ideg of the (ideg,ideg) diagonal Padé (dgpadm.f:89-96)."""
+    c = [1.0]
+    i, j = ideg + 1, 2 * ideg + 1
+    for k in range(1, ideg + 1):
+        c.append(c[-1] * (i - k) / (k * (j - k)))
+    return c
+
+
+def expm_pade(H: jnp.ndarray, mx: jnp.ndarray, t: jnp.ndarray, ideg: int = 6):
+    """exp(t * H[:mx,:mx]) embedded in the full matrix, plus hnorm and ns.
+
+    Args:
+      H: (MH, MH) float64 — full Hessenberg workspace (entries outside the
+        leading mx block are ignored).
+      mx: traced int — active block size.
+      t: traced float — time scale (sign included).
+      ideg: static Padé degree (reference default 6, KrylovSolver.f90:82).
+
+    Returns:
+      (E, hnorm, ns): E (MH, MH) with E[:mx,:mx] = exp(t H_mx) and
+      E[i,i] = 1, E[i,j] = 0 elsewhere; hnorm = |t| * ||H_mx||_inf
+      (the DGPADMNORM output); ns = number of squarings (for the NSCALE
+      counter).
+    """
+    MH = H.shape[0]
+    f = H.dtype
+    idx = jnp.arange(MH)
+    inblk = idx < mx
+    mask2 = inblk[:, None] & inblk[None, :]
+    A = jnp.where(mask2, H, 0).astype(f)
+    eye = jnp.eye(MH, dtype=f)
+
+    # ---- scaling (dgpadm.f:68-87): ns with ||t*H/2^ns|| < 1/2 ----------
+    rowsum = jnp.sum(jnp.abs(A), axis=1)
+    hnorm = jnp.abs(t) * jnp.max(rowsum)
+    # Fortran: ns = MAX(0, INT(LOG(hnorm)/LOG(2)) + 2); INT truncates
+    # toward zero.  Guard hnorm == 0 (the reference STOPs; we return exp(0)=I
+    # gracefully — happens on instant happy breakdown at an absorbing state).
+    safe_h = jnp.where(hnorm > 0, hnorm, 1.0)
+    ns = jnp.maximum(
+        0, (jnp.trunc(jnp.log(safe_h) / jnp.log(2.0)) + 2).astype(jnp.int32)
+    )
+    ns = jnp.where(hnorm > 0, ns, 0)
+    scale = t / (2.0 ** ns).astype(f)
+
+    coef = _pade_coefficients(ideg)
+    A2 = (scale * scale) * (A @ A)
+
+    # ---- Horner on even/odd parts (dgpadm.f:102-131), ideg static ------
+    p = coef[ideg - 1] * eye
+    q = coef[ideg] * eye
+    iodd = 1
+    for k in range(ideg - 1, 0, -1):
+        if iodd == 1:
+            q = q @ A2 + coef[k - 1] * eye
+        else:
+            p = p @ A2 + coef[k - 1] * eye
+        iodd = 1 - iodd
+
+    # ---- (+/-)(I + 2 (q - p)^{-1} p) (dgpadm.f:133-155) ----------------
+    if iodd == 1:
+        q = scale * (q @ A)
+    else:
+        p = scale * (p @ A)
+    q = q - p
+    X = jnp.linalg.solve(q, p)
+    E = 2.0 * X + eye
+    if iodd == 1:
+        # only reachable for odd Horner parity; with ideg=6 parity is even
+        E = jnp.where(ns == 0, -E, E)
+
+    # ---- squaring: E <- E^(2^ns) (dgpadm.f:157-166) --------------------
+    E = jax.lax.fori_loop(0, ns, lambda _, M: M @ M, E)
+
+    # restore exact identity in the padding block (it already solves to I,
+    # but enforce it to keep padding bit-clean)
+    E = jnp.where(mask2, E, jnp.where(idx[:, None] == idx[None, :], 1.0, 0.0))
+    return E, hnorm, ns

@@ -1,0 +1,17 @@
+"""Multi-chip scaling: mesh construction and row-partitioned kernels.
+
+The state dimension n (probability-vector length) is the single parallel
+axis of the Krylov-FSP-SSA math; ``sharded.py`` row-partitions the
+probability vector, Krylov basis, and operator over a 1-D device mesh with
+``shard_map`` (+ psum reductions, all-gather for off-shard SpMV reads).
+"""
+
+__all__ = ["make_mesh", "sharded_matvec", "sharded_expv_step"]
+
+
+def __getattr__(name):
+    if name in __all__:
+        from . import sharded
+
+        return getattr(sharded, name)
+    raise AttributeError(name)

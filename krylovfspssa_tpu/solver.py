@@ -1,0 +1,300 @@
+"""Top-level Krylov-FSP-SSA CME solver.
+
+Host-side orchestration of the device kernels, replicating
+``CME_SOLVE``/``DGEXPV_FSP`` (``/root/reference/src/fsp/
+KrylovSolver.f90:7-653``):
+
+  * initialization: seed states, operator assembly, 5 rounds of 1-step
+    reachability (KrylovSolver.f90:130-134), first step size;
+  * the time loop: each iteration is ONE jit-compiled attempted step (all
+    Krylov/FSP rejection handling on device — see krylov/stepper.py); the
+    host only reacts to step *outcomes*:
+      - drop surplus probability mass (DROP_STATES, with inflow guard),
+      - expand the state set (SSA walks + 1-step reachability) and rebuild
+        the operator,
+      - stop at t_out.
+
+The state set lives in bucketed-capacity device arrays, so jitted programs
+recompile only on capacity-bucket growth (log2 many times per solve).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import SolverConfig
+from .krylov.stepper import EPS, StepCarry, initial_carry, make_step_fn
+from .models.model import Model
+from .ops.operator import build_operator
+from .ops.spmv import spmv
+from .statespace.drop import drop_mask_device
+from .statespace.encoding import StateEncoder
+from .statespace.expand import onestep_extend, ssa_extend
+from .statespace.table import StateTable
+from .utils.stats import SolverStats, StepRecord
+
+
+@dataclasses.dataclass
+class SolveResult:
+    """Final FSP and probability vector (the reference's FSP_OUT)."""
+
+    states: np.ndarray  #: (n, d) int32
+    probabilities: np.ndarray  #: (n,) float64
+    t: float
+    stats: SolverStats
+    table: StateTable
+
+    def probability(self, state) -> float:
+        """Point probability lookup (POINTWISE_FSP parity,
+        StateSpace.f90:96-114): 0 for states outside the projection."""
+        idx = int(np.asarray(self.table.lookup_states(np.asarray(state)[None, :]))[0])
+        return float(self.probabilities[idx]) if idx >= 0 else 0.0
+
+    @property
+    def wsum(self) -> float:
+        return float(self.probabilities.sum())
+
+
+class CmeSolver:
+    """Reusable solver bound to one model (jit caches persist across solves)."""
+
+    def __init__(self, model: Model, config: SolverConfig | None = None):
+        self.model = model
+        self.config = config or SolverConfig()
+        self.encoder = StateEncoder.for_model(
+            model.n_species, self.config.max_molecules
+        )
+        self._stoich = np.asarray(model.stoichiometry, dtype=np.int64)
+        self._dtype = jnp.float64 if self.config.dtype == "float64" else jnp.float32
+
+        def props_fn(states):
+            return model.propensities(states)
+
+        self._props_fn = props_fn
+
+        enc = self.encoder
+        stoich = self._stoich
+        dtype = self._dtype
+
+        @jax.jit
+        def build_op(states, sorted_keys, sorted_to_row, n):
+            return build_operator(
+                states, sorted_keys, sorted_to_row, n,
+                props_fn, stoich, enc, dtype,
+            )
+
+        self._build_op = build_op
+        self._step = jax.jit(
+            make_step_fn(lambda op: (lambda x: spmv(op, x)), self.config)
+        )
+        self._matvec = jax.jit(spmv)
+
+    # ------------------------------------------------------------------ #
+
+    def _operator(self, table: StateTable):
+        return self._build_op(
+            table.states,
+            table.sorted_keys,
+            table.sorted_to_row,
+            jnp.asarray(table.n, jnp.int32),
+        )
+
+    def solve(
+        self,
+        t: float,
+        initial_states: Sequence[Sequence[int]],
+        p0: Sequence[float] | None = None,
+        fsp_tol: float = 1e-4,
+        krylov_tol: float = 1e-10,
+        verbosity: int | None = None,
+    ) -> SolveResult:
+        """Solve dp/dt = A p from the initial distribution to time ``t``.
+
+        Args:
+          t: final time (T_OUT).
+          initial_states: (k, d) seed states of the projection.
+          p0: (k,) initial probabilities (default: delta at the first state —
+            the drivers' ``p0(1)=1`` convention, TestSolverFromFile.f90:29).
+          fsp_tol: total FSP truncation error budget (FSPTOL).
+          krylov_tol: local Krylov error tolerance (EXP_TOL/KRYTOL).
+        """
+        cfg = self.config
+        verbosity = cfg.verbosity if verbosity is None else verbosity
+        wall0 = time.perf_counter()
+
+        init = np.atleast_2d(np.asarray(initial_states, dtype=np.int32))
+        if p0 is None:
+            p0 = np.zeros(init.shape[0])
+            p0[0] = 1.0
+        p0 = np.asarray(p0, dtype=np.float64)
+
+        table = StateTable.from_states(
+            init, self.encoder, cfg.init_capacity, cfg.max_states
+        )
+        w_np = np.zeros(table.capacity, dtype=np.float64)
+        rows = np.asarray(table.lookup_states(init))
+        w_np[rows] = p0
+
+        # start-up expansion (KrylovSolver.f90:130-134)
+        for _ in range(cfg.init_onestep_expansions):
+            table, _ = onestep_extend(table, self._stoich, cfg.max_states)
+        w_np = _repad(w_np, table.capacity)
+        w = jnp.asarray(w_np, dtype=self._dtype)
+
+        op = self._operator(table)
+
+        # tolerance floor (KrylovSolver.f90:171)
+        krytol = float(krylov_tol)
+        if krytol <= EPS:
+            krytol = float(np.sqrt(EPS))
+
+        beta = float(np.linalg.norm(w_np))
+        if beta == 0.0:
+            raise ValueError("initial probability vector is zero")
+        carry = initial_carry(beta, abs(t), krytol, cfg.anorm, cfg.m_min)
+
+        t_out = jnp.asarray(float(t), jnp.float64)
+        fsptol_j = jnp.asarray(float(fsp_tol), jnp.float64)
+        krytol_j = jnp.asarray(krytol, jnp.float64)
+
+        stats = SolverStats()
+        rng = jax.random.PRNGKey(cfg.seed)
+        hard_cap = cfg.mxstep if cfg.mxstep > 0 else 1_000_000
+        iteration = 0
+
+        while float(carry.t_now) < abs(t):
+            iteration += 1
+            if iteration > hard_cap:
+                stats.nstep = int(carry.nstep)
+                raise RuntimeError(
+                    f"exceeded {hard_cap} attempted steps (IFLAG=1 analog)"
+                )
+
+            res = self._step(op, w, carry, t_out, fsptol_j, krytol_j)
+            w, carry = res.w, res.carry
+            advanced = bool(res.advanced)
+            iexpand = bool(res.iexpand)
+            dsum = float(res.dsum)
+            dropped = 0
+
+            # ---- drop surplus mass (KrylovSolver.f90:509-511) ----------
+            if advanced and dsum > 0.0:
+                inflow = self._matvec(op, w)
+                mask, count, _ = drop_mask_device(
+                    w.astype(jnp.float64),
+                    inflow.astype(jnp.float64),
+                    jnp.asarray(table.n, jnp.int32),
+                    jnp.asarray(dsum, jnp.float64),
+                    droptol_start=cfg.droptol_start,
+                    inflow_guard=cfg.inflow_guard,
+                )
+                count = int(count)
+                if count > cfg.drop_fraction * table.n:
+                    keep = ~np.asarray(mask)[: table.n]
+                    w_kept = np.asarray(w)[: table.n][keep]
+                    table, _ = table.compact(keep)
+                    w_np = _repad(w_kept, table.capacity)
+                    w = jnp.asarray(w_np, dtype=self._dtype)
+                    op = self._operator(table)
+                    dropped = count
+                    stats.n_drops += 1
+                    beta_new = float(np.linalg.norm(w_np))
+                    carry = carry._replace(
+                        beta=jnp.asarray(beta_new, jnp.float64),
+                        hump=jnp.maximum(carry.hump, beta_new),
+                    )
+
+            # ---- SSA + 1-step expansion (KrylovSolver.f90:516-534) -----
+            if iexpand and float(carry.t_now) < abs(t):
+                rng, sub = jax.random.split(rng)
+                n_before = table.n
+                table, _ = ssa_extend(
+                    table,
+                    self._props_fn,
+                    self._stoich,
+                    float(res.t_ssa),
+                    sub,
+                    cfg.ssa_max_steps,
+                    cfg.max_states,
+                )
+                table, _ = onestep_extend(table, self._stoich, cfg.max_states)
+                if table.n != n_before or table.capacity != len(w_np):
+                    w_np = _repad(np.asarray(w)[: min(len(np.asarray(w)), table.capacity)], table.capacity)
+                    w = jnp.asarray(w_np, dtype=self._dtype)
+                    op = self._operator(table)
+                stats.n_expansions += 1
+
+            rec = StepRecord(
+                nstep=int(carry.nstep),
+                fsp_size=table.n,
+                t_step=float(res.t_step),
+                t_new=float(carry.t_new),
+                t_now=float(carry.t_now),
+                m=int(res.m_used),
+                wsum=float(res.wsum),
+                err_loc=float(res.err_loc),
+                advanced=advanced,
+                expanded=iexpand,
+                dropped=dropped,
+                wall_s=time.perf_counter() - wall0,
+            )
+            stats.records.append(rec)
+            if verbosity:
+                print(rec.format(), flush=True)
+
+        # ---- final statistics (KrylovSolver.f90:554-573) ---------------
+        stats.nmult = int(carry.nmult)
+        stats.nexph = int(carry.nexph)
+        stats.nscale = int(carry.nscale)
+        stats.nstep = int(carry.nstep)
+        stats.nreject = int(carry.nreject)
+        stats.ibrkflag = int(carry.ibrkflag)
+        stats.mbrkdwn = int(carry.mbrkdwn)
+        stats.tbrkdwn = float(carry.tbrkdwn)
+        stats.step_min = float(carry.step_min)
+        stats.step_max = float(carry.step_max)
+        stats.x_error = float(carry.x_error)
+        stats.s_error = float(carry.s_error)
+        stats.t_final = float(carry.t_now)
+        stats.hump_ratio = float(carry.hump / carry.vnorm)
+        stats.final_norm_ratio = float(carry.beta / carry.vnorm)
+        stats.final_fsp_size = table.n
+        stats.wall_s = time.perf_counter() - wall0
+
+        w_final = np.asarray(w, dtype=np.float64)[: table.n]
+        return SolveResult(
+            states=np.asarray(table.states[: table.n]),
+            probabilities=w_final,
+            t=float(t),
+            stats=stats,
+            table=table,
+        )
+
+
+def solve_cme(
+    model: Model,
+    t: float,
+    initial_states,
+    p0=None,
+    fsp_tol: float = 1e-4,
+    krylov_tol: float = 1e-10,
+    config: SolverConfig | None = None,
+    verbosity: int = 0,
+) -> SolveResult:
+    """One-shot convenience wrapper (CME_SOLVE parity)."""
+    solver = CmeSolver(model, config)
+    return solver.solve(
+        t, initial_states, p0, fsp_tol, krylov_tol, verbosity=verbosity
+    )
+
+
+def _repad(v: np.ndarray, capacity: int) -> np.ndarray:
+    out = np.zeros(capacity, dtype=np.float64)
+    out[: min(len(v), capacity)] = v[:capacity]
+    return out

@@ -1,0 +1,162 @@
+"""Device-resident FSP state table.
+
+Replaces the reference's Brent hash table + incremental single-state
+insertion (``/root/reference/src/hash_table/HashTable.f90``,
+``StateSpace.f90:136-246``) with a TPU-friendly design:
+
+* the state set is a dense (capacity, d) int32 array plus packed int64 keys;
+* membership queries are vectorized binary searches over a sorted key view
+  (one ``searchsorted`` for a whole batch of queries);
+* insertions are *batched merges*: dedup the candidates, append, re-sort —
+  "regenerate, don't patch";
+* capacities are bucketed (powers of two) so jitted consumers recompile only
+  on bucket growth, not on every size change.
+
+Newly appended states keep append order (reference parity: ADD_STATE appends
+at FSP%SIZE+1); dropping compacts while preserving relative order
+(DROP_STATES, StateSpace.f90:497-546).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from .encoding import StateEncoder
+
+#: padding value for the sorted-key view; larger than any valid key
+_KEY_PAD = np.int64(np.iinfo(np.int64).max)
+
+
+@dataclasses.dataclass
+class StateTable:
+    """Padded state table + sorted membership index (host-managed sizes,
+    device-resident arrays)."""
+
+    encoder: StateEncoder
+    capacity: int
+    n: int
+    states: jnp.ndarray  #: (capacity, d) int32, rows >= n are zero
+    keys: jnp.ndarray  #: (capacity,) int64, rows >= n are INVALID (-1)
+    sorted_keys: jnp.ndarray  #: (capacity,) int64 ascending, padded KEY_PAD
+    sorted_to_row: jnp.ndarray  #: (capacity,) int32
+
+    # ------------------------------------------------------------------ #
+
+    @classmethod
+    def from_states(
+        cls,
+        states,
+        encoder: StateEncoder,
+        capacity: int,
+        max_capacity: int | None = None,
+    ) -> "StateTable":
+        states = np.asarray(states, dtype=np.int32)
+        if states.ndim != 2 or states.shape[1] != encoder.n_species:
+            raise ValueError(f"states shape {states.shape} invalid")
+        keys = np.asarray(encoder.encode(states))
+        if np.any(keys < 0):
+            raise ValueError("initial states out of encodable range")
+        # dedup, preserving first-occurrence order
+        _, first = np.unique(keys, return_index=True)
+        order = np.sort(first)
+        states = states[order]
+        keys = keys[order]
+        n = states.shape[0]
+        capacity = _bucket(n, capacity, max_capacity)
+        return cls._build(states, keys, n, capacity, encoder)
+
+    @classmethod
+    def _build(cls, states_np, keys_np, n, capacity, encoder) -> "StateTable":
+        d = encoder.n_species
+        st = np.zeros((capacity, d), dtype=np.int32)
+        st[:n] = states_np[:n]
+        ky = np.full(capacity, -1, dtype=np.int64)
+        ky[:n] = keys_np[:n]
+        sort_src = np.where(ky >= 0, ky, _KEY_PAD)
+        perm = np.argsort(sort_src, kind="stable").astype(np.int32)
+        return cls(
+            encoder=encoder,
+            capacity=capacity,
+            n=int(n),
+            states=jnp.asarray(st),
+            keys=jnp.asarray(ky),
+            sorted_keys=jnp.asarray(sort_src[perm]),
+            sorted_to_row=jnp.asarray(perm),
+        )
+
+    # ------------------------------------------------------------------ #
+
+    def lookup(self, query_keys) -> jnp.ndarray:
+        """Batch membership: int64 keys -> row indices or -1."""
+        from ..ops.operator import lookup_keys
+
+        return lookup_keys(self.sorted_keys, self.sorted_to_row, query_keys)
+
+    def lookup_states(self, states) -> jnp.ndarray:
+        return self.lookup(self.encoder.encode(jnp.asarray(states)))
+
+    def merge_keys(
+        self, new_keys, new_states, max_capacity: int | None = None
+    ) -> tuple["StateTable", int]:
+        """Append previously-absent states; returns (table, n_added).
+
+        ``new_keys`` may contain duplicates, invalid (-1) keys, and keys
+        already present — all are filtered.
+        """
+        new_keys = np.asarray(new_keys)
+        new_states = np.asarray(new_states, dtype=np.int32)
+        present = np.asarray(self.lookup(jnp.asarray(new_keys)))
+        fresh = (present < 0) & (new_keys >= 0)
+        cand_keys = new_keys[fresh]
+        cand_states = new_states[fresh]
+        if cand_keys.size == 0:
+            return self, 0
+        _, first = np.unique(cand_keys, return_index=True)
+        order = np.sort(first)
+        cand_keys = cand_keys[order]
+        cand_states = cand_states[order]
+        n_new = self.n + cand_keys.shape[0]
+        capacity = _bucket(n_new, self.capacity, max_capacity)
+        states_np = np.asarray(self.states[: self.n])
+        keys_np = np.asarray(self.keys[: self.n])
+        all_states = np.concatenate([states_np, cand_states], axis=0)
+        all_keys = np.concatenate([keys_np, cand_keys], axis=0)
+        table = StateTable._build(
+            all_states, all_keys, n_new, capacity, self.encoder
+        )
+        return table, int(cand_keys.shape[0])
+
+    def compact(self, keep_mask) -> tuple["StateTable", np.ndarray]:
+        """Drop rows where keep_mask is False (order-preserving).
+
+        Returns (table, old_row -> new_row int32 map with -1 for dropped).
+        Capacity is kept (no shrink) to avoid recompilation churn.
+        """
+        keep = np.asarray(keep_mask)[: self.n]
+        states_np = np.asarray(self.states[: self.n])[keep]
+        keys_np = np.asarray(self.keys[: self.n])[keep]
+        remap = np.full(self.n, -1, dtype=np.int32)
+        remap[keep] = np.arange(states_np.shape[0], dtype=np.int32)
+        table = StateTable._build(
+            states_np, keys_np, states_np.shape[0], self.capacity, self.encoder
+        )
+        return table, remap
+
+
+def _bucket(n: int, current: int, max_capacity: int | None) -> int:
+    """Smallest power-of-two bucket >= max(n, current)."""
+    cap = max(current, 1)
+    while cap < n:
+        cap *= 2
+    if max_capacity is not None and cap > max_capacity:
+        if n > max_capacity:
+            raise OverflowError(
+                f"FSP size {n} exceeds the configured maximum "
+                f"{max_capacity} states (reference: hard STOP on overflow, "
+                "StateSpace.f90:389)"
+            )
+        cap = max_capacity
+    return cap

@@ -1,0 +1,19 @@
+"""Test configuration: run the suite on a virtual multi-device CPU mesh.
+
+Real-TPU execution is exercised by bench.py; unit and golden tests run on
+CPU with 8 virtual devices so the sharded code paths compile and execute
+without TPU hardware (XLA_FLAGS=--xla_force_host_platform_device_count=8).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
