@@ -25,6 +25,48 @@ import jax
 import jax.numpy as jnp
 
 
+def solve_plu(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve A X = B by Gaussian elimination with partial pivoting.
+
+    TPU XLA implements LuDecomposition only for f32/c64, so
+    ``jnp.linalg.solve`` cannot run in float64 on TPU; this is a
+    backend-independent float64 LU (the DGESV of dgpadm.f:145) written as a
+    shape-static ``fori_loop`` — fine for the tiny (m_max+2)^2 systems here.
+    """
+    n = A.shape[0]
+    M = jnp.concatenate([A, B], axis=1)  # (n, 2n) augmented
+
+    def elim(k, M):
+        # partial pivot on column k
+        col = jnp.abs(M[:, k])
+        col = jnp.where(jnp.arange(n) >= k, col, -jnp.inf)
+        piv = jnp.argmax(col)
+        rk, rp = M[k], M[piv]
+        M = M.at[k].set(rp).at[piv].set(rk)
+        pivval = M[k, k]
+        factors = jnp.where(
+            jnp.arange(n) > k, M[:, k] / pivval, 0.0
+        )
+        return M - factors[:, None] * M[k][None, :]
+
+    M = jax.lax.fori_loop(0, n, elim, M)
+
+    # back substitution on the upper-triangular system
+    U = M[:, :n]
+    Y = M[:, n:]
+
+    def backsub(i, X):
+        k = n - 1 - i
+        # rows > k of X are already solved; U[k, k]*X[k] term is zero
+        acc = U[k] @ X
+        xk = (Y[k] - acc) / U[k, k]
+        return X.at[k].set(xk)
+
+    X0 = jnp.zeros_like(Y)
+    X = jax.lax.fori_loop(0, n, backsub, X0)
+    return X
+
+
 def _pade_coefficients(ideg: int) -> list[float]:
     """c_0..c_ideg of the (ideg,ideg) diagonal Padé (dgpadm.f:89-96)."""
     c = [1.0]
@@ -91,7 +133,7 @@ def expm_pade(H: jnp.ndarray, mx: jnp.ndarray, t: jnp.ndarray, ideg: int = 6):
     else:
         p = scale * (p @ A)
     q = q - p
-    X = jnp.linalg.solve(q, p)
+    X = solve_plu(q, p)
     E = 2.0 * X + eye
     if iodd == 1:
         # only reachable for odd Horner parity; with ideg=6 parity is even
