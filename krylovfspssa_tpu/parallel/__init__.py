@@ -6,7 +6,13 @@ probability vector, Krylov basis, and operator over a 1-D device mesh with
 ``shard_map`` (+ psum reductions, all-gather for off-shard SpMV reads).
 """
 
-__all__ = ["make_mesh", "sharded_matvec", "sharded_expv_step"]
+__all__ = [
+    "make_mesh",
+    "operator_shardings",
+    "shard_operator",
+    "sharded_matvec",
+    "sharded_step_fn",
+]
 
 
 def __getattr__(name):

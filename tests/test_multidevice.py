@@ -1,0 +1,91 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Asserts shard-count invariance: the row-partitioned execution produces the
+same numbers as single-device execution (SURVEY.md §5 test strategy (d)).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from krylovfspssa_tpu.config import SolverConfig
+from krylovfspssa_tpu.krylov.stepper import initial_carry, make_step_fn
+from krylovfspssa_tpu.models.library import bursting_gene_model, toggle_file_model
+from krylovfspssa_tpu.ops.operator import build_operator
+from krylovfspssa_tpu.ops.spmv import spmv
+from krylovfspssa_tpu.parallel.sharded import (
+    make_mesh,
+    shard_operator,
+    sharded_matvec,
+    sharded_step_fn,
+)
+from krylovfspssa_tpu.statespace.encoding import StateEncoder
+from krylovfspssa_tpu.statespace.table import StateTable
+
+
+def _toggle_op(capacity=512, grid=18):
+    model = toggle_file_model()
+    model.reset_parameters([1.0, 100.0, 1.0, 1.0])
+    xs, ys = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
+    states = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.int32)
+    enc = StateEncoder.for_model(2, 10_000)
+    t = StateTable.from_states(states, enc, capacity=capacity)
+    op = build_operator(
+        t.states, t.sorted_keys, t.sorted_to_row,
+        jnp.asarray(t.n, jnp.int32),
+        model.propensities, jnp.asarray(model.stoichiometry), enc,
+    )
+    return model, t, op
+
+
+def test_devices_available():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+
+
+def test_sharded_matvec_matches_single():
+    model, t, op = _toggle_op()
+    mesh = make_mesh(8)
+    op_sh = shard_operator(op, mesh)
+    rng = np.random.default_rng(0)
+    x = np.zeros(t.capacity)
+    x[: t.n] = rng.random(t.n)
+    y_single = np.asarray(spmv(op, jnp.asarray(x)))
+    mv = sharded_matvec(mesh)
+    y_sharded = np.asarray(mv(op_sh, jnp.asarray(x)))
+    np.testing.assert_allclose(y_sharded, y_single, rtol=1e-13, atol=1e-13)
+
+
+def test_sharded_step_matches_single():
+    config = SolverConfig()
+    model, t, op = _toggle_op()
+    mesh = make_mesh(8)
+
+    w = np.zeros(t.capacity)
+    w[0] = 1.0
+    w = jnp.asarray(w)
+    carry = initial_carry(1.0, 10.0, 1e-10, 1.0, config.m_min)
+    args = (
+        jnp.asarray(10.0),
+        jnp.asarray(1e-4),
+        jnp.asarray(1e-10),
+    )
+
+    step_single = jax.jit(
+        make_step_fn(lambda op: (lambda x: spmv(op, x)), config)
+    )
+    res1 = step_single(op, w, carry, *args)
+
+    op_sh = shard_operator(op, mesh)
+    step_sh = sharded_step_fn(mesh, config)
+    res2 = step_sh(op_sh, w, carry, *args)
+
+    np.testing.assert_allclose(
+        np.asarray(res2.w), np.asarray(res1.w), rtol=1e-12, atol=1e-14
+    )
+    assert float(res2.carry.t_now) == pytest.approx(float(res1.carry.t_now))
+    assert float(res2.wsum) == pytest.approx(float(res1.wsum), rel=1e-12)
+    assert int(res2.m_used) == int(res1.m_used)
+    # the sharded result is actually row-partitioned over the mesh
+    shard_devs = {s.device for s in res2.w.addressable_shards}
+    assert len(shard_devs) == 8
