@@ -1,0 +1,304 @@
+"""Krylov-FSP-SSA solver on the masked-box backend — the flagship TPU path.
+
+Same adaptive algorithm as solver.py (the jitted stepper is shared), but the
+FSP lives in a masked power-of-two box (boxspace/box.py) and the operator is
+the matrix-free stencil (ops/stencil.py).  State-set mutation becomes pure
+elementwise device work:
+
+  * drop            -> clear mask bits (no compaction, no re-indexing)
+  * 1-step expand   -> dilate the mask by the legal-move stencil
+  * SSA expansion   -> K dilation rounds (the shell after K rounds contains
+                       every K-jump SSA path; the FSP criterion + drop trim
+                       the surplus) — a deliberate deterministic replacement
+                       for the reference's serial Gillespie walks
+                       (StateSpace.f90:550-630)
+  * box growth      -> double one axis when active cells touch its face
+                       (the only host-visible reshape)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .boxspace.box import BoxSpace
+from .config import SolverConfig
+from .krylov.stepper import EPS, initial_carry, make_step_fn
+from .models.model import Model
+from .ops.stencil import (
+    active_touches_face,
+    dilate_mask,
+    make_stencil_matvec,
+)
+from .statespace.drop import drop_mask_device
+from .utils.stats import SolverStats, StepRecord
+
+
+@dataclasses.dataclass
+class BoxSolveResult:
+    """Final FSP (active cells of the box) and probability vector."""
+
+    states: np.ndarray  #: (n, d) int32 active states
+    probabilities: np.ndarray  #: (n,) float64
+    t: float
+    stats: SolverStats
+    box: BoxSpace
+    mask: np.ndarray  #: flat bool
+    w_flat: np.ndarray  #: flat float64
+
+    def probability(self, state) -> float:
+        idx = np.asarray(self.box.flat_index(np.asarray(state)[None, :]))[0]
+        if idx < 0 or not self.mask[idx]:
+            return 0.0
+        return float(self.w_flat[idx])
+
+    @property
+    def wsum(self) -> float:
+        return float(self.probabilities.sum())
+
+
+class BoxCmeSolver:
+    """Reusable box-backend solver bound to one model."""
+
+    def __init__(self, model: Model, config: SolverConfig | None = None):
+        self.model = model
+        self.config = config or SolverConfig()
+        self._dtype = (
+            jnp.float64 if self.config.dtype == "float64" else jnp.float32
+        )
+        self._fns: dict = {}
+
+    # ---------------------------------------------------------------- #
+
+    def _functions(self, box: BoxSpace):
+        """Per-box-geometry jitted step/matvec/dilate (cached)."""
+        key = (box.log2, box.axis_of_species)
+        if key not in self._fns:
+            matvec = make_stencil_matvec(self.model, box, self._dtype)
+            R = self.model.n_reactions
+
+            step = make_step_fn(
+                lambda mask: (lambda x: matvec(mask, x)),
+                self.config,
+                op_info=lambda mask: (jnp.sum(mask).astype(jnp.int32), R),
+            )
+            self._fns[key] = (
+                jax.jit(step),
+                jax.jit(matvec),
+                jax.jit(lambda m: dilate_mask(box, m)),
+            )
+        return self._fns[key]
+
+    def _grow_until_fits(self, box, mask_np, w_np):
+        """Grow axes whose faces are touched by active cells."""
+        cfg = self.config
+        while True:
+            touch = active_touches_face(box, mask_np)
+            ext = box.extents
+            cap_ext = cfg.max_molecules + 1
+            touch &= ext < cap_ext
+            if not touch.any():
+                return box, mask_np, w_np
+            sp = int(np.argmax(touch))
+            new_box = box.grow(sp)
+            if new_box.volume > cfg.max_box_volume:
+                raise OverflowError(
+                    f"box volume {new_box.volume} exceeds max_box_volume "
+                    f"{cfg.max_box_volume} (FSP overflow analog, "
+                    "StateSpace.f90:389)"
+                )
+            mask_np = np.asarray(
+                new_box.embed(box, jnp.asarray(mask_np), fill=False)
+            )
+            w_np = np.asarray(new_box.embed(box, jnp.asarray(w_np), fill=0.0))
+            box = new_box
+
+    # ---------------------------------------------------------------- #
+
+    def solve(
+        self,
+        t: float,
+        initial_states: Sequence[Sequence[int]],
+        p0: Sequence[float] | None = None,
+        fsp_tol: float = 1e-4,
+        krylov_tol: float = 1e-10,
+        verbosity: int | None = None,
+    ) -> BoxSolveResult:
+        cfg = self.config
+        verbosity = cfg.verbosity if verbosity is None else verbosity
+        wall0 = time.perf_counter()
+
+        init = np.atleast_2d(np.asarray(initial_states, dtype=np.int64))
+        if p0 is None:
+            p0 = np.zeros(init.shape[0])
+            p0[0] = 1.0
+        p0 = np.asarray(p0, dtype=np.float64)
+
+        box = BoxSpace.for_model(
+            self.model.stoichiometry, init, cfg.box_min_log2
+        )
+        mask_np = np.zeros(box.volume, dtype=bool)
+        w_np = np.zeros(box.volume, dtype=np.float64)
+        idx = np.asarray(box.flat_index(init))
+        mask_np[idx] = True
+        w_np[idx] = p0
+
+        # start-up expansion (KrylovSolver.f90:130-134)
+        for _ in range(cfg.init_onestep_expansions):
+            box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
+            _, _, dilate = self._functions(box)
+            mask_np = np.asarray(dilate(jnp.asarray(mask_np)))
+        box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
+
+        mask = jnp.asarray(mask_np)
+        w = jnp.asarray(w_np, dtype=self._dtype)
+
+        krytol = float(krylov_tol)
+        if krytol <= EPS:
+            krytol = float(np.sqrt(EPS))
+
+        beta = float(np.linalg.norm(w_np))
+        if beta == 0.0:
+            raise ValueError("initial probability vector is zero")
+        carry = initial_carry(beta, abs(t), krytol, cfg.anorm, cfg.m_min)
+
+        t_out = jnp.asarray(float(t), jnp.float64)
+        fsptol_j = jnp.asarray(float(fsp_tol), jnp.float64)
+        krytol_j = jnp.asarray(krytol, jnp.float64)
+
+        stats = SolverStats()
+        hard_cap = cfg.mxstep if cfg.mxstep > 0 else 1_000_000
+        iteration = 0
+        step_jit, matvec_jit, dilate_jit = self._functions(box)
+
+        while float(carry.t_now) < abs(t):
+            iteration += 1
+            if iteration > hard_cap:
+                raise RuntimeError(
+                    f"exceeded {hard_cap} attempted steps (IFLAG=1 analog)"
+                )
+
+            res = step_jit(mask, w, carry, t_out, fsptol_j, krytol_j)
+            w, carry = res.w, res.carry
+            advanced = bool(res.advanced)
+            iexpand = bool(res.iexpand)
+            dsum = float(res.dsum)
+            dropped = 0
+
+            # ---- drop = clear mask bits (KrylovSolver.f90:509-511) -----
+            if advanced and dsum > 0.0:
+                inflow = matvec_jit(mask, w)
+                dmask, count, _ = drop_mask_device(
+                    w.astype(jnp.float64),
+                    inflow.astype(jnp.float64),
+                    mask,
+                    jnp.asarray(dsum, jnp.float64),
+                    droptol_start=cfg.droptol_start,
+                    inflow_guard=cfg.inflow_guard,
+                )
+                count = int(count)
+                n_active = int(jnp.sum(mask))
+                if count > cfg.drop_fraction * n_active:
+                    mask = mask & ~dmask
+                    w = jnp.where(dmask, 0.0, w)
+                    dropped = count
+                    stats.n_drops += 1
+                    beta_new = jnp.sqrt(jnp.sum(w * w))
+                    carry = carry._replace(
+                        beta=beta_new.astype(jnp.float64),
+                        hump=jnp.maximum(carry.hump, beta_new),
+                    )
+
+            # ---- expansion = K dilation rounds + face growth -----------
+            if iexpand and float(carry.t_now) < abs(t):
+                for _ in range(cfg.box_expand_rounds):
+                    mask = dilate_jit(mask)
+                mask_np = np.asarray(mask)
+                w_np = np.asarray(w, dtype=np.float64)
+                new_box, mask_np, w_np = self._grow_until_fits(
+                    box, mask_np, w_np
+                )
+                if new_box is not box:
+                    box = new_box
+                    step_jit, matvec_jit, dilate_jit = self._functions(box)
+                    mask = jnp.asarray(mask_np)
+                    w = jnp.asarray(w_np, dtype=self._dtype)
+                    # one more dilation round inside the grown box
+                    mask = dilate_jit(mask)
+                stats.n_expansions += 1
+
+            rec = StepRecord(
+                nstep=int(carry.nstep),
+                fsp_size=int(jnp.sum(mask)),
+                t_step=float(res.t_step),
+                t_new=float(carry.t_new),
+                t_now=float(carry.t_now),
+                m=int(res.m_used),
+                wsum=float(res.wsum),
+                err_loc=float(res.err_loc),
+                advanced=advanced,
+                expanded=iexpand,
+                dropped=dropped,
+                wall_s=time.perf_counter() - wall0,
+            )
+            stats.records.append(rec)
+            if verbosity:
+                print(rec.format(), flush=True)
+
+        # ---- final statistics ------------------------------------------
+        stats.nmult = int(carry.nmult)
+        stats.nexph = int(carry.nexph)
+        stats.nscale = int(carry.nscale)
+        stats.nstep = int(carry.nstep)
+        stats.nreject = int(carry.nreject)
+        stats.ibrkflag = int(carry.ibrkflag)
+        stats.mbrkdwn = int(carry.mbrkdwn)
+        stats.tbrkdwn = float(carry.tbrkdwn)
+        stats.step_min = float(carry.step_min)
+        stats.step_max = float(carry.step_max)
+        stats.x_error = float(carry.x_error)
+        stats.s_error = float(carry.s_error)
+        stats.t_final = float(carry.t_now)
+        stats.hump_ratio = float(carry.hump / carry.vnorm)
+        stats.final_norm_ratio = float(carry.beta / carry.vnorm)
+        stats.wall_s = time.perf_counter() - wall0
+
+        mask_np = np.asarray(mask)
+        w_np = np.asarray(w, dtype=np.float64)
+        active = np.nonzero(mask_np)[0]
+        states = np.asarray(
+            jnp.stack(
+                box.species_counts(jnp.asarray(active), jnp.int32), axis=1
+            )
+        )
+        stats.final_fsp_size = int(active.size)
+        return BoxSolveResult(
+            states=states,
+            probabilities=w_np[active],
+            t=float(t),
+            stats=stats,
+            box=box,
+            mask=mask_np,
+            w_flat=w_np,
+        )
+
+
+def solve_cme_box(
+    model: Model,
+    t: float,
+    initial_states,
+    p0=None,
+    fsp_tol: float = 1e-4,
+    krylov_tol: float = 1e-10,
+    config: SolverConfig | None = None,
+    verbosity: int = 0,
+) -> BoxSolveResult:
+    solver = BoxCmeSolver(model, config)
+    return solver.solve(
+        t, initial_states, p0, fsp_tol, krylov_tol, verbosity=verbosity
+    )

@@ -69,6 +69,15 @@ class SolverConfig:
     #: capacity growth factor when the state set outgrows its bucket
     capacity_growth: int = 2
 
+    # ---- box backend ----------------------------------------------------
+    #: rounds of mask dilation per expansion event in the box backend (the
+    #: SSA+1-step analog; each round activates the 1-step reachable shell)
+    box_expand_rounds: int = 4
+    #: hard cap on box volume (cells); growth beyond this raises
+    max_box_volume: int = 1 << 24
+    #: smallest per-axis log2 extent
+    box_min_log2: int = 2
+
     # ---- SSA expansion --------------------------------------------------
     #: max SSA steps per walk in the batched device SSA extender; the
     #: reference walks until the local time budget is exhausted

@@ -156,12 +156,16 @@ def initial_carry(beta, t_out, krytol, anorm, m0: int) -> StepCarry:
 def make_step_fn(
     matvec_builder: Callable,
     config: SolverConfig,
+    op_info: Callable | None = None,
 ):
     """Build the jittable single-attempted-step function.
 
     Args:
-      matvec_builder: op -> (x -> A@x) closure factory.
+      matvec_builder: op -> (x -> A@x) closure factory; ``op`` is an opaque
+        pytree (the gather-ELL CmeOperator, or the box backend's mask).
       config: solver constants (static).
+      op_info: op -> (n_active, n_reactions) for the cost model and Krylov
+        dimension bound; defaults to the CmeOperator layout.
 
     Returns:
       step(op, w, carry, t_out, fsptol, krytol) -> StepResult, safe to wrap
@@ -178,12 +182,16 @@ def make_step_fn(
     max_fsp_rejects = config.max_fsp_rejects
     MH = m_max + 2
 
+    if op_info is None:
+        op_info = lambda op: (op.n, op.props.shape[1])  # noqa: E731
+
     def step(op, w, sc: StepCarry, t_out, fsptol, krytol) -> StepResult:
         matvec = matvec_builder(op)
         f = w.dtype
         cap = w.shape[0]
-        n = op.n
-        nnz = (op.props.shape[1] + 1) * n  # KrylovSolver.f90:196,537
+        n, n_reactions = op_info(op)
+        n = jnp.asarray(n, jnp.int32)
+        nnz = (n_reactions + 1) * n  # KrylovSolver.f90:196,537
         nf = n.astype(f)
         sgn = jnp.sign(t_out)
         t_out_abs = jnp.abs(t_out)

@@ -1,0 +1,138 @@
+"""Matrix-free stencil SpMV over the masked box state space.
+
+On the box representation (boxspace/box.py), state x - nu_k sits at constant
+flat offset, so the projected CME matvec
+
+    y[z] = sum_k a_k(z - nu_k) * x[z - nu_k]  -  diag(z) * x[z]
+
+is R shifted elementwise multiplies plus a diagonal term: no gathers, no
+stored matrix.  Propensities are *recomputed from coordinates* on every
+matvec — coordinates decode from the flat index by shift/mask (power-of-two
+extents), so the kernel's only memory traffic is x in, y out, mask in.
+This is the TPU-native replacement for the reference's pointer-chasing
+FMATVEC scatter loop (KrylovSolver.f90:577-607).
+
+This module is the XLA implementation (portable, used for correctness and
+as the non-TPU path); ``pallas_stencil.py`` holds the hand-tiled TPU kernel.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boxspace.box import BoxSpace
+from ..models.model import Model
+
+
+def make_propensity_evaluator(
+    model: Model, box: BoxSpace, dtype=jnp.float64
+) -> Callable[[jnp.ndarray, int], jnp.ndarray]:
+    """Returns a(flat_cells, k) -> propensity of reaction k at those cells.
+
+    For expression models the compiled AST is evaluated directly on the
+    decoded coordinate arrays (fully fuseable); custom propensities get a
+    stacked (n, d) state array (parity with CUSTOMPROP).
+    """
+    params = jnp.asarray(model.parameters, dtype=dtype)
+
+    if model.custom_propensity is None:
+        fns = model._ensure_compiled()
+        names = list(model.species_names)
+        pnames = list(model.parameter_names)
+
+        def evaluate(flat, k):
+            coords = box.species_counts(flat, dtype)
+            env = {name: coords[s] for s, name in enumerate(names)}
+            env.update({name: params[j] for j, name in enumerate(pnames)})
+            return jnp.broadcast_to(
+                jnp.asarray(fns[k](env), dtype=dtype), flat.shape
+            )
+
+    else:
+
+        def evaluate(flat, k):
+            coords = box.species_counts(flat, dtype)
+            states = jnp.stack(coords, axis=-1)
+            return jnp.broadcast_to(
+                jnp.asarray(
+                    model.custom_propensity(states, k, params), dtype=dtype
+                ),
+                flat.shape,
+            )
+
+    return evaluate
+
+
+def _dest_valid(box: BoxSpace, flat: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Cells z whose predecessor z - nu_k lies inside the box."""
+    stoich = np.asarray(box.stoichiometry)
+    ok = jnp.ones(flat.shape, dtype=bool)
+    for s in range(box.n_species):
+        nu = int(stoich[k, s])
+        if nu == 0:
+            continue
+        sh = int(box.shift_of_species[s])
+        bits = int(box.bits_of_species[s])
+        co = (flat >> sh) & ((1 << bits) - 1)
+        pred = co - nu
+        ok = ok & (pred >= 0) & (pred < (1 << bits))
+    return ok
+
+
+def make_stencil_matvec(model: Model, box: BoxSpace, dtype=jnp.float64):
+    """Build matvec(mask, x) -> y for the current box geometry.
+
+    The returned function is jit-traceable; `mask` is the FSP membership
+    mask (bool, flat) and x a flat vector supported on it.
+    """
+    evaluate = make_propensity_evaluator(model, box, dtype)
+    offsets = [int(o) for o in box.offsets]
+    R = model.n_reactions
+    vol = box.volume
+
+    def matvec(mask, x):
+        flat = jax.lax.broadcasted_iota(jnp.int64, (vol, 1), 0)[:, 0]
+        xm = jnp.where(mask, x, 0)
+        diag = sum(evaluate(flat, k) for k in range(R))
+        y = -diag * xm
+        for k in range(R):
+            contrib = evaluate(flat, k) * xm
+            rolled = jnp.roll(contrib, offsets[k])
+            y = y + jnp.where(_dest_valid(box, flat, k), rolled, 0)
+        return jnp.where(mask, y, 0)
+
+    return matvec
+
+
+def dilate_mask(box: BoxSpace, mask: jnp.ndarray) -> jnp.ndarray:
+    """One round of 1-step reachability: activate every legal successor of
+    an active cell (the ONESTEP_EXTENDER analog, StateSpace.f90:347-396)."""
+    vol = box.volume
+    flat = jax.lax.broadcasted_iota(jnp.int64, (vol, 1), 0)[:, 0]
+    out = mask
+    for k in range(box.stoichiometry.shape[0]):
+        rolled = jnp.roll(mask, int(box.offsets[k]))
+        out = out | (rolled & _dest_valid(box, flat, k))
+    return out
+
+
+def active_touches_face(box: BoxSpace, mask: jnp.ndarray) -> np.ndarray:
+    """Per-species flag: an active cell sits within the largest |nu| of the
+    axis' upper face — growing that axis is warranted before expanding."""
+    m = np.asarray(mask).reshape(box.shape)
+    stoich = np.asarray(box.stoichiometry)
+    out = np.zeros(box.n_species, dtype=bool)
+    for s in range(box.n_species):
+        reach = int(np.abs(stoich[:, s]).max())
+        if reach == 0:
+            continue
+        ax = box.axis_of_species[s]
+        ext = box.shape[ax]
+        sl = [slice(None)] * len(box.shape)
+        sl[ax] = slice(ext - reach, ext)
+        out[s] = bool(m[tuple(sl)].any())
+    return out

@@ -31,7 +31,7 @@ _N_LEVELS = 24
 def drop_mask_device(
     w: jnp.ndarray,
     inflow: jnp.ndarray,
-    n: jnp.ndarray,
+    active,
     dsum: jnp.ndarray,
     droptol_start: float = 1.0e-8,
     inflow_guard: float = 1.0e-8,
@@ -41,14 +41,17 @@ def drop_mask_device(
     Args:
       w: (cap,) probability vector (padding rows are zero).
       inflow: (cap,) A @ w (the inflow guard vector, StateSpace.f90:486).
-      n: active row count.
+      active: membership — either an int count (table backend: rows < n) or
+        a bool mask array (box backend).
       dsum: droppable surplus mass.
 
     Returns:
       (mask (cap,) bool — True = drop, count int32, droptol).
     """
     cap = w.shape[0]
-    active = jnp.arange(cap) < n
+    active = jnp.asarray(active)
+    if active.dtype != jnp.bool_:
+        active = jnp.arange(cap) < active
     levels = droptol_start / (10.0 ** jnp.arange(_N_LEVELS, dtype=jnp.float64))
     # mass below each level, counting only 0 < w < level (FIND_DROPTOL)
     below = (w[None, :] < levels[:, None]) & (w[None, :] > 0) & active[None, :]

@@ -1,0 +1,164 @@
+"""Box backend tests: geometry, stencil matvec vs gather operator, solver."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from krylovfspssa_tpu.boxspace.box import BoxSpace
+from krylovfspssa_tpu.boxsolver import solve_cme_box
+from krylovfspssa_tpu.config import SolverConfig
+from krylovfspssa_tpu.models.library import (
+    bursting_gene_model,
+    goutsias_model,
+    toggle_file_model,
+)
+from krylovfspssa_tpu.ops.operator import build_operator
+from krylovfspssa_tpu.ops.spmv import spmv
+from krylovfspssa_tpu.ops.stencil import (
+    active_touches_face,
+    dilate_mask,
+    make_stencil_matvec,
+)
+from krylovfspssa_tpu.statespace.encoding import StateEncoder
+from krylovfspssa_tpu.statespace.table import StateTable
+
+
+def test_box_geometry_roundtrip():
+    model = goutsias_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[2, 6, 0, 2, 0, 0]])
+    rng = np.random.default_rng(0)
+    states = np.stack(
+        [rng.integers(0, e, size=50) for e in box.extents], axis=1
+    )
+    flat = np.asarray(box.flat_index(states))
+    assert np.all(flat >= 0)
+    back = np.asarray(
+        jnp.stack(box.species_counts(jnp.asarray(flat), jnp.int64), axis=1)
+    )
+    np.testing.assert_array_equal(back, states)
+    # out-of-box
+    bad = states.copy()
+    bad[0, 0] = box.extents[0]
+    assert np.asarray(box.flat_index(bad))[0] == -1
+
+
+def test_box_offsets_consistent():
+    model = goutsias_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[2, 6, 0, 2, 0, 0]])
+    s = np.array([[1, 1, 1, 1, 1, 1]])
+    base = int(np.asarray(box.flat_index(s))[0])
+    for k in range(model.n_reactions):
+        succ = s + np.asarray(model.stoichiometry[k])[None]
+        if np.all(succ >= 0):
+            f = int(np.asarray(box.flat_index(succ))[0])
+            assert f - base == box.offsets[k]
+
+
+def test_box_axis_order_minimizes_offsets():
+    model = goutsias_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[2, 6, 0, 2, 0, 0]])
+    # the permutation search must beat the naive species order
+    naive = BoxSpace(
+        n_species=6,
+        axis_of_species=tuple(range(6)),
+        log2=tuple(
+            box.log2[box.axis_of_species[s]] for s in range(6)
+        ),
+        stoichiometry=np.asarray(model.stoichiometry),
+    )
+    assert np.abs(box.offsets).max() <= np.abs(naive.offsets).max()
+
+
+def _stencil_vs_gather(model, seeds, n_dilate=6):
+    box = BoxSpace.for_model(model.stoichiometry, seeds, min_log2=2)
+    mask = np.zeros(box.volume, dtype=bool)
+    mask[np.asarray(box.flat_index(np.asarray(seeds)))] = True
+    mask = jnp.asarray(mask)
+    for _ in range(n_dilate):
+        mask = dilate_mask(box, mask)
+    mask_np = np.asarray(mask)
+    active = np.nonzero(mask_np)[0]
+    states = np.asarray(
+        jnp.stack(box.species_counts(jnp.asarray(active), jnp.int32), axis=1)
+    )
+
+    # same state set in the gather backend
+    enc = StateEncoder.for_model(model.n_species, 10_000)
+    cap = 1 << int(np.ceil(np.log2(len(states) + 1)))
+    table = StateTable.from_states(states, enc, capacity=cap)
+    op = build_operator(
+        table.states, table.sorted_keys, table.sorted_to_row,
+        jnp.asarray(table.n, jnp.int32),
+        model.propensities, jnp.asarray(model.stoichiometry), enc,
+    )
+
+    rng = np.random.default_rng(3)
+    xv = rng.random(len(active))
+    x_box = np.zeros(box.volume)
+    x_box[active] = xv
+    x_tab = np.zeros(table.capacity)
+    rows = np.asarray(table.lookup_states(states))
+    x_tab[rows] = xv
+
+    matvec = make_stencil_matvec(model, box)
+    y_box = np.asarray(matvec(mask, jnp.asarray(x_box)))[active]
+    y_tab = np.asarray(spmv(op, jnp.asarray(x_tab)))[rows]
+    np.testing.assert_allclose(y_box, y_tab, rtol=1e-12, atol=1e-12)
+
+
+def test_stencil_matches_gather_toggle():
+    model = toggle_file_model()
+    model.reset_parameters([1.0, 100.0, 1.0, 1.0])
+    _stencil_vs_gather(model, [[0, 0]], n_dilate=8)
+
+
+def test_stencil_matches_gather_goutsias():
+    _stencil_vs_gather(goutsias_model(), [[2, 6, 0, 2, 0, 0]], n_dilate=4)
+
+
+def test_dilate_mask_counts():
+    model = bursting_gene_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[0, 0]])
+    mask = np.zeros(box.volume, dtype=bool)
+    mask[int(np.asarray(box.flat_index(np.array([[0, 0]])))[0])] = True
+    m1 = dilate_mask(box, jnp.asarray(mask))
+    # from (0,0): successors (1,0) and (0,1) legal -> 3 active
+    assert int(jnp.sum(m1)) == 3
+
+
+def test_face_touch_detection():
+    model = bursting_gene_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[0, 0]])
+    mask = np.zeros(box.volume, dtype=bool)
+    # activate a cell at the top RNA coordinate
+    top = [[0, box.extents[1] - 1]]
+    mask[int(np.asarray(box.flat_index(np.array(top)))[0])] = True
+    touch = active_touches_face(box, mask)
+    assert touch[1] and not touch[0]
+
+
+def test_box_solver_vs_table_solver():
+    from krylovfspssa_tpu.solver import solve_cme
+
+    model = bursting_gene_model()
+    cfg = SolverConfig(init_capacity=64)
+    res_t = solve_cme(model, 20.0, [[0, 0]], fsp_tol=1e-5, krylov_tol=1e-10,
+                      config=cfg)
+    res_b = solve_cme_box(model, 20.0, [[0, 0]], fsp_tol=1e-5,
+                          krylov_tol=1e-10, config=cfg)
+    assert res_b.wsum >= 1.0 - 1e-5
+    # pointwise agreement between the two backends within FSP tolerance
+    for s, p in zip(res_t.states, res_t.probabilities):
+        if p > 1e-7:
+            assert res_b.probability(s) == pytest.approx(p, abs=2e-5)
+
+
+def test_box_solver_grows_box():
+    model = bursting_gene_model()
+    res = solve_cme_box(
+        model, 30.0, [[0, 0]], fsp_tol=1e-5, krylov_tol=1e-10,
+        config=SolverConfig(box_min_log2=2),
+    )
+    # RNA reaches ~10+ molecules; the box must have grown beyond 4
+    assert res.box.extents[1] >= 16
+    assert res.wsum >= 1.0 - 1e-5
