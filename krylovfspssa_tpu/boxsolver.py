@@ -123,49 +123,65 @@ class BoxCmeSolver:
     def solve(
         self,
         t: float,
-        initial_states: Sequence[Sequence[int]],
+        initial_states: Sequence[Sequence[int]] | None = None,
         p0: Sequence[float] | None = None,
         fsp_tol: float = 1e-4,
         krylov_tol: float = 1e-10,
         verbosity: int | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 50,
+        resume_from: str | None = None,
     ) -> BoxSolveResult:
         cfg = self.config
         verbosity = cfg.verbosity if verbosity is None else verbosity
         wall0 = time.perf_counter()
 
-        init = np.atleast_2d(np.asarray(initial_states, dtype=np.int64))
-        if p0 is None:
-            p0 = np.zeros(init.shape[0])
-            p0[0] = 1.0
-        p0 = np.asarray(p0, dtype=np.float64)
+        if resume_from is not None:
+            from .checkpoint import load_checkpoint
 
-        box = BoxSpace.for_model(
-            self.model.stoichiometry, init, cfg.box_min_log2
-        )
-        mask_np = np.zeros(box.volume, dtype=bool)
-        w_np = np.zeros(box.volume, dtype=np.float64)
-        idx = np.asarray(box.flat_index(init))
-        mask_np[idx] = True
-        w_np[idx] = p0
+            box, mask_np, w_np, carry, t_ck, fsp_tol, krytol = (
+                load_checkpoint(resume_from)
+            )
+            t = t_ck
+            mask = jnp.asarray(mask_np)
+            w = jnp.asarray(w_np, dtype=self._dtype)
+        else:
+            if initial_states is None:
+                raise ValueError("initial_states required unless resuming")
+            init = np.atleast_2d(np.asarray(initial_states, dtype=np.int64))
+            if p0 is None:
+                p0 = np.zeros(init.shape[0])
+                p0[0] = 1.0
+            p0 = np.asarray(p0, dtype=np.float64)
 
-        # start-up expansion (KrylovSolver.f90:130-134)
-        for _ in range(cfg.init_onestep_expansions):
+            box = BoxSpace.for_model(
+                self.model.stoichiometry, init, cfg.box_min_log2
+            )
+            mask_np = np.zeros(box.volume, dtype=bool)
+            w_np = np.zeros(box.volume, dtype=np.float64)
+            idx = np.asarray(box.flat_index(init))
+            mask_np[idx] = True
+            w_np[idx] = p0
+
+            # start-up expansion (KrylovSolver.f90:130-134)
+            for _ in range(cfg.init_onestep_expansions):
+                box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
+                _, _, dilate = self._functions(box)
+                mask_np = np.asarray(dilate(jnp.asarray(mask_np)))
             box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
-            _, _, dilate = self._functions(box)
-            mask_np = np.asarray(dilate(jnp.asarray(mask_np)))
-        box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
 
-        mask = jnp.asarray(mask_np)
-        w = jnp.asarray(w_np, dtype=self._dtype)
+            mask = jnp.asarray(mask_np)
+            w = jnp.asarray(w_np, dtype=self._dtype)
 
-        krytol = float(krylov_tol)
-        if krytol <= EPS:
-            krytol = float(np.sqrt(EPS))
+            krytol = float(krylov_tol)
+            if krytol <= EPS:
+                krytol = float(np.sqrt(EPS))
 
-        beta = float(np.linalg.norm(w_np))
-        if beta == 0.0:
-            raise ValueError("initial probability vector is zero")
-        carry = initial_carry(beta, abs(t), krytol, cfg.anorm, cfg.m_min)
+            beta = float(np.linalg.norm(w_np))
+            if beta == 0.0:
+                raise ValueError("initial probability vector is zero")
+            carry = initial_carry(beta, abs(t), krytol, cfg.anorm, cfg.m_min)
+        self._ckpt = (checkpoint_path, int(checkpoint_every), [0])
 
         t_out = jnp.asarray(float(t), jnp.float64)
         fsptol_j = jnp.asarray(float(fsp_tol), jnp.float64)
@@ -173,6 +189,16 @@ class BoxCmeSolver:
 
         stats = SolverStats()
         hard_cap = cfg.mxstep if cfg.mxstep > 0 else 1_000_000
+
+        if cfg.fused_steps:
+            box, mask, w, carry, stats = self._solve_fused(
+                box, mask, w, carry, t_out, fsptol_j, krytol_j, stats,
+                hard_cap, verbosity, wall0,
+            )
+            return self._finalize(
+                box, mask, w, carry, stats, float(t), wall0
+            )
+
         iteration = 0
         step_jit, matvec_jit, dilate_jit = self._functions(box)
 
@@ -249,8 +275,132 @@ class BoxCmeSolver:
             stats.records.append(rec)
             if verbosity:
                 print(rec.format(), flush=True)
+            self._maybe_checkpoint(
+                box, mask, w, carry, t_out, fsptol_j, krytol_j
+            )
 
-        # ---- final statistics ------------------------------------------
+        return self._finalize(box, mask, w, carry, stats, float(t), wall0)
+
+    # ---------------------------------------------------------------- #
+
+    def _advance(self, box: BoxSpace, growable: tuple[int, ...]):
+        """Cached jitted fused-loop function per (box, growable)."""
+        from .krylov.advance import make_advance_fn
+
+        budget = self.config.max_steps_per_call
+        # checkpointing needs host re-entry at least every checkpoint_every
+        # attempted steps
+        if getattr(self, "_ckpt", (None,))[0] is not None:
+            budget = min(budget, self._ckpt[1])
+        key = ("adv", box.log2, box.axis_of_species, growable, budget)
+        if key not in self._fns:
+            self._fns[key] = jax.jit(
+                make_advance_fn(
+                    self.model,
+                    box,
+                    self.config,
+                    growable,
+                    budget,
+                    self._dtype,
+                )
+            )
+        return self._fns[key]
+
+    def _growable(self, box: BoxSpace) -> tuple[int, ...]:
+        cfg = self.config
+        return tuple(
+            int(s)
+            for s in range(box.n_species)
+            if box.extents[s] < cfg.max_molecules + 1
+            and box.grow(int(s)).volume <= cfg.max_box_volume
+        )
+
+    def _solve_fused(
+        self, box, mask, w, carry, t_out, fsptol_j, krytol_j, stats,
+        hard_cap, verbosity, wall0,
+    ):
+        """Fused device main loop; host re-entry on growth/budget only."""
+        from .krylov.advance import (
+            EVENT_DONE,
+            EVENT_GROW,
+            RECORD_FIELDS,
+            make_advance_fn,  # noqa: F401
+        )
+
+        total_steps = 0
+        while True:
+            growable = self._growable(box)
+            adv = self._advance(box, growable)
+            st = adv(w, mask, carry, t_out, fsptol_j, krytol_j)
+            w, mask, carry = st.w, st.mask, st.carry
+            stats.n_drops += int(st.n_drops)
+            stats.n_expansions += int(st.n_expansions)
+            nsteps = int(st.steps)
+            total_steps += nsteps
+            recs = np.asarray(st.records)[:nsteps]
+            for row in recs:
+                rec = StepRecord(
+                    nstep=int(row[0]),
+                    fsp_size=int(row[1]),
+                    t_step=float(row[2]),
+                    t_new=float(row[3]),
+                    t_now=float(row[4]),
+                    m=int(row[5]),
+                    wsum=float(row[6]),
+                    err_loc=float(row[7]),
+                    advanced=bool(row[8]),
+                    expanded=bool(row[9]),
+                    dropped=int(row[10]),
+                )
+                stats.records.append(rec)
+                if verbosity:
+                    print(rec.format(), flush=True)
+            self._maybe_checkpoint(
+                box, mask, w, carry, t_out, fsptol_j, krytol_j
+            )
+            event = int(st.event)
+            if event == EVENT_DONE:
+                break
+            if total_steps > hard_cap:
+                raise RuntimeError(
+                    f"exceeded {hard_cap} attempted steps (IFLAG=1 analog)"
+                )
+            if event == EVENT_GROW:
+                mask_np = np.asarray(mask)
+                w_np = np.asarray(w, dtype=np.float64)
+                new_box, mask_np, w_np = self._grow_until_fits(
+                    box, mask_np, w_np
+                )
+                if new_box is not box:
+                    box = new_box
+                    mask = jnp.asarray(mask_np)
+                    w = jnp.asarray(w_np, dtype=self._dtype)
+                    _, _, dilate_jit = self._functions(box)
+                    mask = dilate_jit(mask)
+                else:
+                    # face touched but nothing growable: states at the cap
+                    # simply truncate (reference MAXNUMBERMOLECULES analog);
+                    # continue without growth
+                    pass
+            # EVENT_BUDGET: just loop again
+        return box, mask, w, carry, stats
+
+    def _maybe_checkpoint(self, box, mask, w, carry, t_out, fsptol, krytol):
+        path, every, last = self._ckpt
+        if path is None:
+            return
+        nstep = int(carry.nstep)
+        if nstep - last[0] >= every:
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(
+                path, box, np.asarray(mask),
+                np.asarray(w, dtype=np.float64), jax.device_get(carry),
+                float(t_out), float(fsptol), float(krytol),
+            )
+            last[0] = nstep
+
+    def _finalize(self, box, mask, w, carry, stats, t, wall0):
         stats.nmult = int(carry.nmult)
         stats.nexph = int(carry.nexph)
         stats.nscale = int(carry.nscale)
@@ -291,14 +441,19 @@ class BoxCmeSolver:
 def solve_cme_box(
     model: Model,
     t: float,
-    initial_states,
+    initial_states=None,
     p0=None,
     fsp_tol: float = 1e-4,
     krylov_tol: float = 1e-10,
     config: SolverConfig | None = None,
     verbosity: int = 0,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 50,
+    resume_from: str | None = None,
 ) -> BoxSolveResult:
     solver = BoxCmeSolver(model, config)
     return solver.solve(
-        t, initial_states, p0, fsp_tol, krylov_tol, verbosity=verbosity
+        t, initial_states, p0, fsp_tol, krylov_tol, verbosity=verbosity,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        resume_from=resume_from,
     )

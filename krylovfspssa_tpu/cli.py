@@ -1,0 +1,212 @@
+"""Command-line interface — the analog of the reference driver programs.
+
+``kfs solve``  replicates ``test/TestSolverFromFile.f90``: load a model
+(``.input`` file or built-in library name), solve the CME to a final time,
+print per-step statistics and the elapsed wall time, optionally save the
+final (states, probabilities) to ``.npz``.
+
+``kfs models`` lists the built-in model library (the reference ``examples/``
+programs); ``kfs info`` prints a model summary; ``kfs bench`` runs the SpMV
+roofline benchmark from the repo's ``bench.py`` accounting.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _load(spec: str, params: list[float] | None):
+    from .models.library import LIBRARY, get_model
+    from .models.model import load_model
+
+    if spec in LIBRARY:
+        model = get_model(spec)
+    else:
+        path = Path(spec)
+        if not path.exists():
+            raise SystemExit(
+                f"kfs: {spec!r} is neither a built-in model "
+                f"({sorted(LIBRARY)}) nor a file"
+            )
+        model = load_model(path)
+    if params is not None:
+        model.reset_parameters(params)
+    return model
+
+
+def _parse_state(text: str | None, n_species: int) -> np.ndarray:
+    if text is None:
+        return np.zeros((1, n_species), dtype=np.int64)
+    x0 = np.array([int(v) for v in text.replace(",", " ").split()])
+    if x0.size != n_species:
+        raise SystemExit(
+            f"kfs: --x0 has {x0.size} entries, model has {n_species} species"
+        )
+    return x0[None, :]
+
+
+def cmd_solve(args) -> int:
+    from .boxsolver import solve_cme_box
+    from .config import SolverConfig
+    from .solver import solve_cme
+
+    model = _load(args.model, args.params)
+    x0 = _parse_state(args.x0, model.n_species)
+    cfg_kwargs = {}
+    if args.dtype:
+        cfg_kwargs["dtype"] = args.dtype
+    if args.no_fused:
+        cfg_kwargs["fused_steps"] = False
+    config = SolverConfig(**cfg_kwargs)
+
+    solve = solve_cme_box if args.backend == "box" else solve_cme
+    t0 = time.perf_counter()
+    res = solve(
+        model,
+        args.t,
+        x0,
+        fsp_tol=args.fsp_tol,
+        krylov_tol=args.krylov_tol,
+        config=config,
+        verbosity=args.verbose,
+    )
+    wall = time.perf_counter() - t0
+
+    s = res.stats
+    print(f"model          : {model.name or args.model}")
+    print(f"backend        : {args.backend}")
+    print(f"t_final        : {s.t_final:g}")
+    print(f"final FSP size : {s.final_fsp_size}")
+    print(f"wsum           : {res.wsum:.10f}   (1-wsum = {1 - res.wsum:.3e})")
+    print(f"steps          : {s.nstep}  (rejections {s.nreject}, "
+          f"expansions {s.n_expansions}, drops {s.n_drops})")
+    print(f"matvecs        : {s.nmult}   expm evals: {s.nexph}")
+    print(f"step size      : [{s.step_min:.3g}, {s.step_max:.3g}]")
+    print(f"elapsed        : {wall:.3f} s")
+
+    if args.output:
+        np.savez_compressed(
+            args.output,
+            states=res.states,
+            probabilities=res.probabilities,
+            t=res.t,
+            wsum=res.wsum,
+        )
+        print(f"saved          : {args.output}")
+    if args.json:
+        rec = {
+            "model": model.name or args.model,
+            "backend": args.backend,
+            "t": s.t_final,
+            "fsp_size": s.final_fsp_size,
+            "wsum": res.wsum,
+            "nstep": s.nstep,
+            "nreject": s.nreject,
+            "nmult": s.nmult,
+            "wall_s": wall,
+        }
+        print(json.dumps(rec))
+    return 0
+
+
+def cmd_models(args) -> int:
+    from .models.library import LIBRARY, get_model
+
+    for name in sorted(LIBRARY):
+        try:
+            m = get_model(name)
+            print(f"{name:28s} {m.n_species} species, "
+                  f"{m.n_reactions} reactions")
+        except Exception as e:  # broken bundled inputs (SURVEY.md §2)
+            print(f"{name:28s} UNUSABLE: {e}")
+    return 0
+
+
+def cmd_info(args) -> int:
+    model = _load(args.model, None)
+    print(f"name       : {model.name}")
+    print(f"species    : {', '.join(model.species_names)}")
+    print(f"parameters : "
+          + ", ".join(
+              f"{n}={v:g}"
+              for n, v in zip(model.parameter_names, model.parameters)
+          ))
+    print("reactions  :")
+    stoich = np.asarray(model.stoichiometry)
+    for k in range(model.n_reactions):
+        nu = stoich[k]
+        terms = [
+            f"{'+' if v > 0 else ''}{v} {s}"
+            for v, s in zip(nu, model.species_names)
+            if v != 0
+        ]
+        expr = (
+            model.propensity_expressions[k]
+            if model.propensity_expressions
+            else "<custom>"
+        )
+        print(f"  R{k + 1}: {', '.join(terms) or '(null)'}    a = {expr}")
+    return 0
+
+
+def cmd_bench(args) -> int:
+    import runpy
+
+    bench = Path(__file__).resolve().parent.parent / "bench.py"
+    if not bench.exists():
+        raise SystemExit("kfs: bench.py not found next to the package")
+    sys.argv = [str(bench)]
+    runpy.run_path(str(bench), run_name="__main__")
+    return 0
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(
+        prog="kfs",
+        description="TPU-native Krylov-FSP-SSA solver for the Chemical "
+        "Master Equation",
+    )
+    sub = p.add_subparsers(dest="command", required=True)
+
+    ps = sub.add_parser("solve", help="solve a CME model to a final time")
+    ps.add_argument("model", help=".input file path or built-in model name")
+    ps.add_argument("--t", type=float, default=1000.0,
+                    help="final time T_OUT (default 1000, the "
+                    "TestSolverFromFile setting)")
+    ps.add_argument("--fsp-tol", type=float, default=1e-4)
+    ps.add_argument("--krylov-tol", type=float, default=1e-10)
+    ps.add_argument("--x0", help="initial state, e.g. '0,0' (default all 0)")
+    ps.add_argument("--params", type=float, nargs="+",
+                    help="override model parameters")
+    ps.add_argument("--backend", choices=("box", "table"), default="box")
+    ps.add_argument("--dtype", choices=("float64", "float32"))
+    ps.add_argument("--no-fused", action="store_true",
+                    help="disable the fused device main loop")
+    ps.add_argument("-v", "--verbose", action="count", default=0)
+    ps.add_argument("-o", "--output", help="save result to .npz")
+    ps.add_argument("--json", action="store_true",
+                    help="also print a JSON summary line")
+    ps.set_defaults(fn=cmd_solve)
+
+    pm = sub.add_parser("models", help="list built-in models")
+    pm.set_defaults(fn=cmd_models)
+
+    pi = sub.add_parser("info", help="print a model summary")
+    pi.add_argument("model")
+    pi.set_defaults(fn=cmd_info)
+
+    pb = sub.add_parser("bench", help="run the SpMV roofline benchmark")
+    pb.set_defaults(fn=cmd_bench)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

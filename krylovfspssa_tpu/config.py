@@ -70,6 +70,9 @@ class SolverConfig:
     capacity_growth: int = 2
 
     # ---- box backend ----------------------------------------------------
+    #: run the box backend's whole main loop inside one jitted while_loop
+    #: (host re-entry only on box growth); False = one device call per step
+    fused_steps: bool = True
     #: rounds of mask dilation per expansion event in the box backend (the
     #: SSA+1-step analog; each round activates the 1-step reachable shell)
     box_expand_rounds: int = 4

@@ -1,0 +1,226 @@
+"""Fused multi-step device loop for the box backend.
+
+The host-orchestrated solvers pay one device round-trip per attempted step.
+On the masked-box representation every state-set mutation is elementwise
+(drop = clear mask bits, 1-step expansion = mask dilation), so the *entire*
+reference main loop (KrylovSolver.f90:206-550) — stepping, rejection
+handling, dropping, expansion — runs inside ONE ``lax.while_loop``.  The
+host is re-entered only when:
+
+  * the integration reaches t_out                       (event DONE)
+  * active cells touch a growable box face              (event GROW — the
+    only host-visible reshape)
+  * ``max_steps`` device-loop iterations elapsed        (event BUDGET —
+    lets the host stream progress records)
+
+A per-step statistics ring buffer (fsp size, tau, t, m, wsum, flags) is
+written on device so observability survives the fusion (PRINT_STATS
+parity, KrylovSolver.f90:641-651).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..boxspace.box import BoxSpace
+from ..config import SolverConfig
+from ..models.model import Model
+from ..ops.stencil import dilate_mask, make_stencil_matvec
+from ..statespace.drop import _N_LEVELS
+from .stepper import StepCarry, make_step_fn
+
+EVENT_NONE = 0
+EVENT_DONE = 1
+EVENT_GROW = 2
+EVENT_BUDGET = 3
+
+#: per-step record fields in the device ring buffer
+RECORD_FIELDS = (
+    "nstep",
+    "fsp_size",
+    "t_step",
+    "t_new",
+    "t_now",
+    "m",
+    "wsum",
+    "err_loc",
+    "advanced",
+    "expanded",
+    "dropped",
+)
+
+
+class AdvanceState(NamedTuple):
+    w: jnp.ndarray
+    mask: jnp.ndarray
+    carry: StepCarry
+    event: jnp.ndarray
+    steps: jnp.ndarray
+    records: jnp.ndarray  # (max_steps, len(RECORD_FIELDS)) f64
+    n_drops: jnp.ndarray
+    n_expansions: jnp.ndarray
+
+
+def _touch_flags(box: BoxSpace, mask, growable: tuple[int, ...]):
+    """Does any active cell sit within reach of a growable axis' face?"""
+    m = mask.reshape(box.shape)
+    stoich = np.asarray(box.stoichiometry)
+    out = jnp.asarray(False)
+    for s in growable:
+        reach = int(np.abs(stoich[:, s]).max())
+        if reach == 0:
+            continue
+        ax = box.axis_of_species[s]
+        ext = box.shape[ax]
+        sl = [slice(None)] * len(box.shape)
+        sl[ax] = slice(ext - reach, ext)
+        out = out | jnp.any(m[tuple(sl)])
+    return out
+
+
+def make_advance_fn(
+    model: Model,
+    box: BoxSpace,
+    config: SolverConfig,
+    growable: tuple[int, ...],
+    max_steps: int,
+    dtype=jnp.float64,
+):
+    """Build advance(w, mask, carry, t_out, fsptol, krytol) -> AdvanceState.
+
+    Static in box geometry / growable axes / max_steps; jit once per box.
+    """
+    matvec = make_stencil_matvec(model, box, dtype)
+    R = model.n_reactions
+    step = make_step_fn(
+        lambda mask: (lambda x: matvec(mask, x)),
+        config,
+        op_info=lambda mask: (jnp.sum(mask).astype(jnp.int32), R),
+    )
+    droptol_start = config.droptol_start
+    inflow_guard = config.inflow_guard
+    drop_fraction = config.drop_fraction
+    expand_rounds = config.box_expand_rounds
+
+    def drop_inline(mask, w, dsum, carry):
+        """DROP_STATES as pure mask arithmetic (StateSpace.f90:398-548)."""
+        w64 = w.astype(jnp.float64)
+        inflow = matvec(mask, w).astype(jnp.float64)
+        levels = droptol_start / (
+            10.0 ** jnp.arange(_N_LEVELS, dtype=jnp.float64)
+        )
+        below = (
+            (w64[None, :] < levels[:, None]) & (w64[None, :] > 0) & mask[None, :]
+        )
+        sums = jnp.sum(jnp.where(below, w64[None, :], 0.0), axis=1)
+        ok = sums < dsum
+        droptol = jnp.where(jnp.any(ok), levels[jnp.argmax(ok)], levels[-1])
+        dmask = (w64 < droptol) & mask & ~(inflow > inflow_guard)
+        count = jnp.sum(dmask)
+        n_active = jnp.sum(mask)
+        do = count.astype(jnp.float64) > drop_fraction * n_active.astype(
+            jnp.float64
+        )
+        mask_new = jnp.where(do, mask & ~dmask, mask)
+        w_new = jnp.where(do & dmask, 0.0, w)
+        beta_new = jnp.sqrt(jnp.sum((w_new * w_new).astype(jnp.float64)))
+        carry = carry._replace(
+            beta=jnp.where(do, beta_new, carry.beta),
+            hump=jnp.where(
+                do, jnp.maximum(carry.hump, beta_new), carry.hump
+            ),
+        )
+        return mask_new, w_new, carry, jnp.where(do, count, 0)
+
+    def expand_inline(mask):
+        for _ in range(expand_rounds):
+            mask = dilate_mask(box, mask)
+        return mask
+
+    def advance(w, mask, carry: StepCarry, t_out, fsptol, krytol):
+        t_out_abs = jnp.abs(t_out)
+
+        def cond(st: AdvanceState):
+            return (st.event == EVENT_NONE) & (st.steps < max_steps)
+
+        def body(st: AdvanceState) -> AdvanceState:
+            res = step(st.mask, st.w, st.carry, t_out, fsptol, krytol)
+            w, carry, mask = res.w, res.carry, st.mask
+            dropped = jnp.asarray(0, jnp.int64)
+            n_drops = st.n_drops
+            n_exp = st.n_expansions
+
+            # ---- drop (KrylovSolver.f90:509-511) -----------------------
+            do_drop = res.advanced & (res.dsum > 0.0)
+            mask, w, carry, dropped = jax.lax.cond(
+                do_drop,
+                lambda args: drop_inline(*args),
+                lambda args: (args[0], args[1], args[3], jnp.asarray(0, jnp.int64)),
+                (mask, w, res.dsum, carry),
+            )
+            n_drops = n_drops + (dropped > 0)
+
+            # ---- expansion (KrylovSolver.f90:516-534) ------------------
+            do_expand = res.iexpand
+            mask = jax.lax.cond(do_expand, expand_inline, lambda m: m, mask)
+            n_exp = n_exp + do_expand
+
+            # ---- events ------------------------------------------------
+            done = carry.t_now >= t_out_abs
+            grow = _touch_flags(box, mask, growable) & ~done
+            event = jnp.where(
+                done, EVENT_DONE, jnp.where(grow, EVENT_GROW, EVENT_NONE)
+            ).astype(jnp.int32)
+
+            # ---- record ------------------------------------------------
+            rec = jnp.stack(
+                [
+                    carry.nstep.astype(jnp.float64),
+                    jnp.sum(mask).astype(jnp.float64),
+                    res.t_step.astype(jnp.float64),
+                    carry.t_new.astype(jnp.float64),
+                    carry.t_now.astype(jnp.float64),
+                    res.m_used.astype(jnp.float64),
+                    res.wsum.astype(jnp.float64),
+                    res.err_loc.astype(jnp.float64),
+                    res.advanced.astype(jnp.float64),
+                    res.iexpand.astype(jnp.float64),
+                    dropped.astype(jnp.float64),
+                ]
+            )
+            records = jax.lax.dynamic_update_slice(
+                st.records, rec[None, :], (st.steps, jnp.asarray(0, st.steps.dtype))
+            )
+
+            return AdvanceState(
+                w=w,
+                mask=mask,
+                carry=carry,
+                event=event,
+                steps=st.steps + 1,
+                records=records,
+                n_drops=n_drops,
+                n_expansions=n_exp,
+            )
+
+        init = AdvanceState(
+            w=w,
+            mask=mask,
+            carry=carry,
+            event=jnp.asarray(EVENT_NONE, jnp.int32),
+            steps=jnp.asarray(0, jnp.int32),
+            records=jnp.zeros((max_steps, len(RECORD_FIELDS)), jnp.float64),
+            n_drops=jnp.asarray(0, jnp.int32),
+            n_expansions=jnp.asarray(0, jnp.int32),
+        )
+        st = jax.lax.while_loop(cond, body, init)
+        event = jnp.where(
+            st.event == EVENT_NONE, EVENT_BUDGET, st.event
+        ).astype(jnp.int32)
+        return st._replace(event=event)
+
+    return advance

@@ -32,7 +32,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import SolverConfig
-from ..ops.expm import expm_pade
+from ..ops.expm import expm_chebyshev_col0, expm_pade
 from .arnoldi import arnoldi_extend
 
 _SQR1 = math.sqrt(0.1)
@@ -182,6 +182,14 @@ def make_step_fn(
     max_fsp_rejects = config.max_fsp_rejects
     MH = m_max + 2
 
+    # ideg == 0 selects the Chebyshev partial-fraction expv instead of Padé
+    # (KrylovSolver.f90:278-287; dead code at the reference default ideg=6)
+    if ideg == 0:
+        def expm_fn(Hb, mxv, ts, _ideg):
+            return expm_chebyshev_col0(Hb, mxv, ts)
+    else:
+        expm_fn = expm_pade
+
     if op_info is None:
         op_info = lambda op: (op.n, op.props.shape[1])  # noqa: E731
 
@@ -289,7 +297,7 @@ def make_step_fn(
 
             def expm_err(carry):
                 t_step, _, _, _, nexph, nscale = carry
-                E, hnorm, ns = expm_pade(Hbar, mx, sgn * t_step, ideg)
+                E, hnorm, ns = expm_fn(Hbar, mx, sgn * t_step, ideg)
                 p1 = jnp.abs(E[a.m, 0]) * beta
                 p2 = jnp.abs(E[a.m + 1, 0]) * beta * a.avnorm
                 err_k1 = jnp.where(
@@ -546,7 +554,7 @@ def make_step_fn(
             )
             ts = round_2sig(ts, 0.55)
 
-            E, _, ns = expm_pade(Hbar, mx, sgn * ts, ideg)
+            E, _, ns = expm_fn(Hbar, mx, sgn * ts, ideg)
             fc = fc._replace(
                 E=E,
                 t_step=ts,

@@ -146,3 +146,81 @@ def expm_pade(H: jnp.ndarray, mx: jnp.ndarray, t: jnp.ndarray, ideg: int = 6):
     # but enforce it to keep padding bit-clean)
     E = jnp.where(mask2, E, jnp.where(idx[:, None] == idx[None, :], 1.0, 0.0))
     return E, hnorm, ns
+
+
+# ------------------------------------------------------------------------
+# Chebyshev alternative (DGCHBV parity, selected by ideg == 0)
+# ------------------------------------------------------------------------
+
+#: (14,14) uniform rational Chebyshev approximation of exp(x) on the
+#: negative real axis: exp(z) ~ a0 + sum_i Re[alpha_i / (z - theta_i)].
+#: Published coefficients (Carpenter/Ruttan/Varga tables, as used by
+#: EXPOKIT's DGCHBV, /root/reference/src/expokit/dgchbv.f:55-70).
+_CHEB_ALPHA0 = 0.183216998528140087e-11
+_CHEB_ALPHA = (
+    (+0.557503973136501826e02, -0.204295038779771857e03),
+    (-0.938666838877006739e02, +0.912874896775456363e02),
+    (+0.469965415550370835e02, -0.116167609985818103e02),
+    (-0.961424200626061065e01, -0.264195613880262669e01),
+    (+0.752722063978321642e00, +0.670367365566377770e00),
+    (-0.188781253158648576e-01, -0.343696176445802414e-01),
+    (+0.143086431411801849e-03, +0.287221133228814096e-03),
+)
+_CHEB_THETA = (
+    (-0.562314417475317895e01, +0.119406921611247440e01),
+    (-0.508934679728216110e01, +0.358882439228376881e01),
+    (-0.399337136365302569e01, +0.600483209099604664e01),
+    (-0.226978543095856346e01, +0.846173881758693369e01),
+    (+0.208756929753827868e00, +0.109912615662209418e02),
+    (+0.370327340957595652e01, +0.136563731924991884e02),
+    (+0.889777151877331107e01, +0.166309842834712071e02),
+)
+
+
+def expm_chebyshev_col0(H: jnp.ndarray, mx: jnp.ndarray, t: jnp.ndarray):
+    """First column of exp(t * H[:mx,:mx]) by Chebyshev partial fractions.
+
+    The DGCHBV analog (dgchbv.f:2-94): y <- exp(tH) e1 via 7 complex-shifted
+    linear solves.  The stepper only consumes column 0 of the exponential
+    (the propagated Krylov coefficients and the two error components), so
+    this returns an (MH, MH) matrix whose column 0 holds the result and
+    whose remaining entries are the identity's.  TPU has no complex128, so
+    each complex solve (tH - theta I) x = e1 runs as the equivalent real
+    2MH x 2MH block system [[A, -B], [B, A]].
+
+    Returns (E, hnorm, ns=0) matching the expm_pade interface.
+    """
+    MH = H.shape[0]
+    f = H.dtype
+    idx = jnp.arange(MH)
+    inblk = idx < mx
+    mask2 = inblk[:, None] & inblk[None, :]
+    A = jnp.where(mask2, H, 0).astype(f) * t
+    hnorm = jnp.abs(t) * jnp.max(jnp.sum(jnp.abs(jnp.where(mask2, H, 0)), axis=1))
+
+    e1 = jnp.zeros((MH, 1), dtype=f).at[0, 0].set(1.0)
+    # pad outside-block diagonal so the shifted systems stay nonsingular
+    diag_pad = jnp.where(inblk, 0.0, 1.0)
+    Apad = A + jnp.diag(diag_pad)
+
+    # the tabulated (alpha, theta) approximate exp(-x) on [0, inf):
+    #   exp(z) = alpha0 - sum_i Re[ alpha_i * (z + theta_i)^{-1} ]
+    col = _CHEB_ALPHA0 * e1[:, 0]
+    zeros = jnp.zeros((MH, 1), dtype=f)
+    for (ar, ai), (tr, ti) in zip(_CHEB_ALPHA, _CHEB_THETA):
+        # (Apad + (tr + i ti) I)(x + i y) = e1  ->  real block system
+        Mr = Apad + tr * jnp.eye(MH, dtype=f)
+        Mi = ti * jnp.eye(MH, dtype=f)
+        M = jnp.block([[Mr, -Mi], [Mi, Mr]])
+        rhs = jnp.concatenate([e1, zeros], axis=0)
+        xy = solve_plu(M, rhs)
+        x_re, x_im = xy[:MH, 0], xy[MH:, 0]
+        # Re[alpha * (x + i y)] = ar*x - ai*y
+        col = col - (ar * x_re - ai * x_im)
+
+    col = jnp.where(inblk, col, 0.0)
+    E = jnp.where(
+        idx[:, None] == idx[None, :], 1.0, 0.0
+    ).astype(f)
+    E = E.at[:, 0].set(col)
+    return E, hnorm, jnp.asarray(0, jnp.int32)

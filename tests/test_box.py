@@ -153,6 +153,25 @@ def test_box_solver_vs_table_solver():
             assert res_b.probability(s) == pytest.approx(p, abs=2e-5)
 
 
+def test_fused_loop_matches_host_loop():
+    """The fused device while_loop (krylov/advance.py) must reproduce the
+    host-orchestrated step loop bit-for-bit: same step count, same FSP,
+    same probabilities."""
+    model = bursting_gene_model()
+    res_u = solve_cme_box(model, 20.0, [[0, 0]], fsp_tol=1e-5,
+                          krylov_tol=1e-10,
+                          config=SolverConfig(fused_steps=False))
+    res_f = solve_cme_box(model, 20.0, [[0, 0]], fsp_tol=1e-5,
+                          krylov_tol=1e-10,
+                          config=SolverConfig(fused_steps=True))
+    assert res_f.stats.nstep == res_u.stats.nstep
+    assert res_f.stats.final_fsp_size == res_u.stats.final_fsp_size
+    d_u = {tuple(s): p for s, p in zip(res_u.states, res_u.probabilities)}
+    d_f = {tuple(s): p for s, p in zip(res_f.states, res_f.probabilities)}
+    for k in set(d_u) | set(d_f):
+        assert d_f.get(k, 0.0) == pytest.approx(d_u.get(k, 0.0), abs=1e-14)
+
+
 def test_box_solver_grows_box():
     model = bursting_gene_model()
     res = solve_cme_box(

@@ -1,0 +1,60 @@
+"""Checkpoint/resume: a resumed solve must reproduce the uninterrupted one."""
+
+import numpy as np
+import pytest
+
+from krylovfspssa_tpu.boxsolver import solve_cme_box
+from krylovfspssa_tpu.checkpoint import load_checkpoint, save_checkpoint
+from krylovfspssa_tpu.config import SolverConfig
+from krylovfspssa_tpu.models.library import bursting_gene_model
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from krylovfspssa_tpu.boxspace.box import BoxSpace
+    from krylovfspssa_tpu.krylov.stepper import initial_carry
+
+    model = bursting_gene_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[0, 0]])
+    mask = np.zeros(box.volume, dtype=bool)
+    mask[:3] = True
+    w = np.zeros(box.volume)
+    w[0] = 1.0
+    carry = initial_carry(1.0, 10.0, 1e-10, 1.0, 10)
+    p = tmp_path / "ck.npz"
+    save_checkpoint(p, box, mask, w, carry, 10.0, 1e-5, 1e-10)
+    box2, mask2, w2, carry2, t2, ft2, kt2 = load_checkpoint(p)
+    assert box2.log2 == box.log2
+    assert box2.axis_of_species == box.axis_of_species
+    np.testing.assert_array_equal(box2.stoichiometry, box.stoichiometry)
+    np.testing.assert_array_equal(mask2, mask)
+    np.testing.assert_array_equal(w2, w)
+    assert float(carry2.t_new) == float(carry.t_new)
+    assert (t2, ft2, kt2) == (10.0, 1e-5, 1e-10)
+
+
+def test_resume_matches_uninterrupted(tmp_path):
+    model = bursting_gene_model()
+    ck = str(tmp_path / "run.npz")
+
+    res_full = solve_cme_box(
+        model, 20.0, [[0, 0]], fsp_tol=1e-5, krylov_tol=1e-10,
+    )
+    res_ck = solve_cme_box(
+        model, 20.0, [[0, 0]], fsp_tol=1e-5, krylov_tol=1e-10,
+        checkpoint_path=ck, checkpoint_every=10,
+    )
+    assert res_ck.stats.nstep == res_full.stats.nstep
+
+    # the last checkpoint sits mid-run; resuming must land on the same answer
+    res_res = solve_cme_box(
+        model, 20.0, resume_from=ck, fsp_tol=1e-5, krylov_tol=1e-10,
+    )
+    assert float(res_res.stats.t_final) == pytest.approx(20.0)
+    d_full = {tuple(s): p for s, p in zip(res_full.states,
+                                          res_full.probabilities)}
+    d_res = {tuple(s): p for s, p in zip(res_res.states,
+                                         res_res.probabilities)}
+    for k in set(d_full) | set(d_res):
+        assert d_res.get(k, 0.0) == pytest.approx(
+            d_full.get(k, 0.0), abs=1e-12
+        )
