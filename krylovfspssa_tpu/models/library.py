@@ -43,7 +43,10 @@ def toggle_programmatic_model() -> Model:
     import jax.numpy as jnp
 
     def prop(states, r, p):
-        x, y = states[:, 0], states[:, 1]
+        # index with ... so the callable works on any batch shape — flat
+        # (n, d) for the table backend, blocked (B, 128, d) in the Pallas
+        # stencil kernel
+        x, y = states[..., 0], states[..., 1]
         if r == 0:
             return p[0] + p[1] / (1.0 + y * jnp.sqrt(y))  # y**1.5
         if r == 1:
@@ -234,7 +237,7 @@ def ge5d_model() -> Model:
         return out / denom
 
     def prop(states, r, p):
-        s = states[:, GS]
+        s = states[..., GS]
         (k12, k23, k34, k43, k32, k21) = p[0:6]
         g1 = p[6:10]
         g2 = p[10:14]
@@ -249,16 +252,16 @@ def ge5d_model() -> Model:
         if r == 3:
             return g2[0] * i0 + g2[1] * i1 + g2[2] * i2 + g2[3] * i3
         if r == 4:
-            return d1n * states[:, R1N]
+            return d1n * states[..., R1N]
         if r == 5:
-            return d2n * states[:, R2N]
+            return d2n * states[..., R2N]
         if r == 6:
-            return d1c * states[:, R1C]
+            return d1c * states[..., R1C]
         if r == 7:
-            return d2c * states[:, R2C]
+            return d2c * states[..., R2C]
         if r == 8:
-            return ktr * states[:, R1N]
-        return ktr * states[:, R2N]
+            return ktr * states[..., R1N]
+        return ktr * states[..., R2N]
 
     m = Model(
         n_species=5,

@@ -1,0 +1,192 @@
+"""Hand-tiled Pallas TPU kernel for the masked-box stencil SpMV.
+
+The XLA stencil (ops/stencil.py) materializes one full-volume intermediate
+per reaction (R ``jnp.roll`` copies + propensity recompute traffic), which
+measures ~15% of the stored-CSR roofline on a v5e chip.  This kernel brings
+the matvec to its true memory bound: the flat vector is viewed as
+``(rows, 128)`` lanes; each grid step DMAs one output block plus its halo
+into VMEM **once**, then every reaction's contribution is a static
+(row, lane) shift *within VMEM* — zero extra HBM traffic — with the
+propensity a_k(x - nu_k) recomputed from the cell coordinates in registers
+(shift/mask decode of the flat index, VPU-only expression evaluation).
+
+Reaction shift geometry: a flat source offset ``s = -offset_k`` splits as
+``s = 128 q + r`` (0 <= r < 128), so the shifted read of block rows
+[0, B) is ``concat(win[c+q : c+q+B, r:], win[c+q+1 : c+q+B+1, :r])`` with
+``c = -q_min`` — two static row-slices and a static lane split.
+
+The kernel is float32 (TPU has no native f64 vectors; the f64 path keeps
+the XLA stencil).  Reference semantics replicated: FMATVEC
+(/root/reference/src/fsp/KrylovSolver.f90:577-607) with the diagonal
+summed over all reactions and out-of-box targets dropped (FSP truncation).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..boxspace.box import BoxSpace
+from ..models.model import Model
+
+LANES = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def pallas_applicable(box: BoxSpace, block_rows: int = 512) -> bool:
+    """The kernel needs vol % 128 == 0 and a halo that fits VMEM."""
+    if box.volume % LANES != 0:
+        return False
+    rows = box.volume // LANES
+    if rows < 8:
+        return False
+    offs = [int(o) for o in np.asarray(box.offsets)]
+    span = (max(0, *offs) - min(0, *offs)) // LANES + 2
+    B = min(block_rows, rows)
+    wr = B + span
+    # window + block + mask well under the ~16 MB VMEM budget
+    return wr * LANES * 4 < 8 * 1024 * 1024
+
+
+def make_pallas_stencil_matvec(
+    model: Model,
+    box: BoxSpace,
+    block_rows: int = 512,
+    interpret: bool = False,
+):
+    """Build matvec(mask, x) -> y (float32) for the current box geometry.
+
+    Same contract as ops.stencil.make_stencil_matvec: ``mask`` is the flat
+    bool FSP membership mask, ``x`` a flat vector supported on it.
+    """
+    if model.custom_propensity is not None:
+        fns = None
+    else:
+        fns = model._ensure_compiled()
+    names = list(model.species_names)
+    pnames = list(model.parameter_names)
+    params = [float(v) for v in np.asarray(model.parameters)]
+    stoich = np.asarray(box.stoichiometry, dtype=np.int64)
+    R = stoich.shape[0]
+    d = box.n_species
+
+    vol = box.volume
+    assert vol % LANES == 0, "box volume must be a multiple of 128"
+    rows_tot = vol // LANES
+    shifts = [int(s) for s in box.shift_of_species]
+    bits = [int(b) for b in box.bits_of_species]
+    exts = [1 << b for b in bits]
+
+    # source shift per reaction: x[z + s_k] with s_k = -offset_k
+    s_off = [-int(o) for o in np.asarray(box.offsets)]
+    q = [s // LANES for s in s_off]
+    r = [s - LANES * qq for s, qq in zip(s_off, q)]
+    qmin = min(q + [0])
+    qmax = max(q + [0])
+
+    B = min(block_rows, rows_tot)
+    while rows_tot % B:
+        B //= 2
+    B = max(B, 8)
+    n_blocks = rows_tot // B
+    c0 = -qmin
+    WR = _round_up(B + (qmax - qmin) + 1, 8)
+    PAD = _round_up(max(-qmin, qmax + 1) + 8, 8)
+
+    def _propensity(k: int, coords_f32: list):
+        """a_k at the given per-species f32 coordinate arrays."""
+        if fns is not None:
+            env = {name: coords_f32[s] for s, name in enumerate(names)}
+            env.update({name: params[j] for j, name in enumerate(pnames)})
+            return jnp.asarray(fns[k](env), jnp.float32)
+        states = jnp.stack(coords_f32, axis=-1)
+        # params as plain Python floats: jnp arrays would be captured
+        # tracer constants, which pallas_call forbids
+        return jnp.asarray(
+            model.custom_propensity(states, k, params), jnp.float32
+        )
+
+    def kernel(xp_ref, mask_ref, y_ref, win, sem):
+        i = pl.program_id(0).astype(jnp.int32)
+        w0 = i * jnp.int32(B) + jnp.int32(PAD + qmin)
+        dma = pltpu.make_async_copy(
+            xp_ref.at[pl.ds(w0, WR), :], win, sem
+        )
+        dma.start()
+
+        # cell coordinates of the output block (registers, no memory)
+        row = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 0)
+        lane = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
+        z = (i * jnp.int32(B) + row) * jnp.int32(LANES) + lane
+        coords = [
+            ((z >> jnp.int32(shifts[s])) & jnp.int32(exts[s] - 1))
+            for s in range(d)
+        ]
+        coords_f = [c.astype(jnp.float32) for c in coords]
+
+        # diagonal = total outflow (StateSpace.f90:207-212)
+        diag = _propensity(0, coords_f)
+        for k in range(1, R):
+            diag = diag + _propensity(k, coords_f)
+
+        dma.wait()
+        center = win[c0 : c0 + B, :]
+        acc = -diag * center
+
+        for k in range(R):
+            # source-state coordinates and box-validity
+            src = [
+                coords[s] - jnp.int32(int(stoich[k, s])) for s in range(d)
+            ]
+            valid = (src[0] >= 0) & (src[0] < jnp.int32(exts[0]))
+            for s in range(1, d):
+                valid = valid & (src[s] >= 0) & (src[s] < jnp.int32(exts[s]))
+            a_k = _propensity(k, [c.astype(jnp.float32) for c in src])
+
+            base = c0 + q[k]
+            if r[k] == 0:
+                shifted = win[base : base + B, :]
+            else:
+                hi = win[base : base + B, r[k] :]
+                lo = win[base + 1 : base + B + 1, : r[k]]
+                shifted = jnp.concatenate([hi, lo], axis=1)
+            acc = acc + jnp.where(valid, a_k * shifted, 0.0)
+
+        y_ref[:, :] = jnp.where(mask_ref[:, :] != 0, acc, 0.0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_tot, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )
+
+    def matvec(mask, x):
+        xm = jnp.where(mask, x, 0).astype(jnp.float32).reshape(rows_tot, LANES)
+        xp = jnp.pad(xm, ((PAD, PAD), (0, 0)))
+        m8 = mask.astype(jnp.int8).reshape(rows_tot, LANES)
+        y = call(xp, m8)
+        return y.reshape(vol)
+
+    return matvec

@@ -1,0 +1,56 @@
+"""Pallas stencil SpMV kernel vs the XLA stencil (interpret mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from krylovfspssa_tpu.boxspace.box import BoxSpace
+from krylovfspssa_tpu.models.library import (
+    goutsias_model,
+    toggle_file_model,
+    toggle_programmatic_model,
+)
+from krylovfspssa_tpu.ops.pallas_stencil import (
+    make_pallas_stencil_matvec,
+    pallas_applicable,
+)
+from krylovfspssa_tpu.ops.stencil import make_stencil_matvec
+
+
+def _grown_box(model, x0, target):
+    box = BoxSpace.for_model(model.stoichiometry, x0)
+    for s in range(model.n_species):
+        while box.extents[s] < target:
+            box = box.grow(s)
+    return box
+
+
+@pytest.mark.parametrize(
+    "mk,x0,target",
+    [
+        (toggle_file_model, [[0, 0]], 64),
+        (toggle_programmatic_model, [[0, 0]], 64),  # custom-propensity path
+        (goutsias_model, [[2, 6, 0, 2, 0, 0]], 8),
+    ],
+)
+def test_pallas_matches_xla_stencil(mk, x0, target):
+    model = mk()
+    box = _grown_box(model, x0, target)
+    assert pallas_applicable(box)
+    rng = np.random.default_rng(7)
+    mask = jnp.asarray(rng.random(box.volume) < 0.6)
+    x = jnp.asarray(rng.random(box.volume), jnp.float32)
+    ref = make_stencil_matvec(model, box, jnp.float32)(mask, x)
+    got = make_pallas_stencil_matvec(
+        model, box, block_rows=16, interpret=True
+    )(mask, x)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6 * scale
+    )
+
+
+def test_pallas_applicability_gate():
+    model = toggle_file_model()
+    small = BoxSpace.for_model(model.stoichiometry, [[0, 0]])
+    assert not pallas_applicable(small)  # volume < 128 rows
