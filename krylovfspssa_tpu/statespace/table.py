@@ -33,7 +33,15 @@ _KEY_PAD = np.int64(np.iinfo(np.int64).max)
 @dataclasses.dataclass
 class StateTable:
     """Padded state table + sorted membership index (host-managed sizes,
-    device-resident arrays)."""
+    device-resident arrays).
+
+    ``host_index`` is the native C++ hash table (HashTable.f90 parity,
+    native/kfs_hash.cpp) mirroring key -> row; it lets ``merge_keys`` filter
+    and dedup candidates without a device round-trip.  Tables are used
+    linearly by the solver: a merge mutates the shared host index, so the
+    *pre-merge* table's host lookups become stale (device arrays stay
+    immutable).
+    """
 
     encoder: StateEncoder
     capacity: int
@@ -42,6 +50,7 @@ class StateTable:
     keys: jnp.ndarray  #: (capacity,) int64, rows >= n are INVALID (-1)
     sorted_keys: jnp.ndarray  #: (capacity,) int64 ascending, padded KEY_PAD
     sorted_to_row: jnp.ndarray  #: (capacity,) int32
+    host_index: object | None = None
 
     # ------------------------------------------------------------------ #
 
@@ -69,7 +78,9 @@ class StateTable:
         return cls._build(states, keys, n, capacity, encoder)
 
     @classmethod
-    def _build(cls, states_np, keys_np, n, capacity, encoder) -> "StateTable":
+    def _build(
+        cls, states_np, keys_np, n, capacity, encoder, host_index="rebuild"
+    ) -> "StateTable":
         d = encoder.n_species
         st = np.zeros((capacity, d), dtype=np.int32)
         st[:n] = states_np[:n]
@@ -77,6 +88,18 @@ class StateTable:
         ky[:n] = keys_np[:n]
         sort_src = np.where(ky >= 0, ky, _KEY_PAD)
         perm = np.argsort(sort_src, kind="stable").astype(np.int32)
+        if host_index == "rebuild":
+            host_index = None
+            try:
+                from ..native import NativeHashTable, available
+
+                if available():
+                    host_index = NativeHashTable(max(64, 2 * int(n)))
+                    host_index.insert(
+                        keys_np[:n], np.arange(int(n), dtype=np.int32)
+                    )
+            except Exception:
+                host_index = None
         return cls(
             encoder=encoder,
             capacity=capacity,
@@ -85,6 +108,7 @@ class StateTable:
             keys=jnp.asarray(ky),
             sorted_keys=jnp.asarray(sort_src[perm]),
             sorted_to_row=jnp.asarray(perm),
+            host_index=host_index,
         )
 
     # ------------------------------------------------------------------ #
@@ -108,16 +132,29 @@ class StateTable:
         """
         new_keys = np.asarray(new_keys)
         new_states = np.asarray(new_states, dtype=np.int32)
-        present = np.asarray(self.lookup(jnp.asarray(new_keys)))
-        fresh = (present < 0) & (new_keys >= 0)
-        cand_keys = new_keys[fresh]
-        cand_states = new_states[fresh]
-        if cand_keys.size == 0:
-            return self, 0
-        _, first = np.unique(cand_keys, return_index=True)
-        order = np.sort(first)
-        cand_keys = cand_keys[order]
-        cand_states = cand_states[order]
+        if self.host_index is not None:
+            # native path: present-filter + dedup + row assignment in one
+            # C call, no device round-trip (the index is mutated in place)
+            rows, n_fresh = self.host_index.assign_fresh(new_keys, self.n)
+            if n_fresh == 0:
+                return self, 0
+            take = rows >= 0
+            order = np.argsort(rows[take], kind="stable")
+            cand_keys = new_keys[take][order]
+            cand_states = new_states[take][order]
+            reuse_index = self.host_index
+        else:
+            present = np.asarray(self.lookup(jnp.asarray(new_keys)))
+            fresh = (present < 0) & (new_keys >= 0)
+            cand_keys = new_keys[fresh]
+            cand_states = new_states[fresh]
+            if cand_keys.size == 0:
+                return self, 0
+            _, first = np.unique(cand_keys, return_index=True)
+            order = np.sort(first)
+            cand_keys = cand_keys[order]
+            cand_states = cand_states[order]
+            reuse_index = "rebuild"
         n_new = self.n + cand_keys.shape[0]
         capacity = _bucket(n_new, self.capacity, max_capacity)
         states_np = np.asarray(self.states[: self.n])
@@ -125,7 +162,8 @@ class StateTable:
         all_states = np.concatenate([states_np, cand_states], axis=0)
         all_keys = np.concatenate([keys_np, cand_keys], axis=0)
         table = StateTable._build(
-            all_states, all_keys, n_new, capacity, self.encoder
+            all_states, all_keys, n_new, capacity, self.encoder,
+            host_index=reuse_index,
         )
         return table, int(cand_keys.shape[0])
 
