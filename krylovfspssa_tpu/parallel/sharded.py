@@ -99,3 +99,54 @@ def _carry_struct():
     from ..krylov.stepper import initial_carry
 
     return initial_carry(1.0, 1.0, 1e-8, 1.0, 10)
+
+
+# ---------------------------------------------------------------- box ----
+
+
+def sharded_box_step_fn(mesh: Mesh, model, box, config: SolverConfig):
+    """The box-backend adaptive step with the flat cell axis partitioned.
+
+    The stencil matvec's shifted reads (jnp.roll) become XLA
+    collective-permutes of the shard boundaries over ICI; the mask is
+    row-partitioned alongside w; everything else replicates.  Returns
+    step(mask, w, carry, t_out, fsptol, krytol).
+    """
+    import jax.numpy as jnp
+
+    from ..ops.stencil import make_stencil_matvec
+
+    dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+    matvec = make_stencil_matvec(model, box, dtype)
+    R = model.n_reactions
+    step = make_step_fn(
+        lambda mask: (lambda x: matvec(mask, x)),
+        config,
+        op_info=lambda mask: (
+            jnp.sum(mask).astype(jnp.int32),
+            R,
+        ),
+    )
+    row = NamedSharding(mesh, P(STATE_AXIS))
+    rep = NamedSharding(mesh, P())
+    return jax.jit(
+        step,
+        in_shardings=(
+            row,  # mask
+            row,  # w
+            jax.tree.map(lambda _: rep, _carry_struct()),
+            rep,
+            rep,
+            rep,
+        ),
+    )
+
+
+def sharded_dilate_fn(mesh: Mesh, box):
+    """Mask dilation (1-step FSP expansion) with the cell axis partitioned."""
+    from ..ops.stencil import dilate_mask
+
+    row = NamedSharding(mesh, P(STATE_AXIS))
+    return jax.jit(
+        lambda m: dilate_mask(box, m), in_shardings=(row,), out_shardings=row
+    )

@@ -89,3 +89,58 @@ def test_sharded_step_matches_single():
     # the sharded result is actually row-partitioned over the mesh
     shard_devs = {s.device for s in res2.w.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_sharded_box_step_matches_single():
+    """Box backend: the row-partitioned stencil step reproduces the
+    single-device step (shard-count invariance for the flagship path)."""
+    from krylovfspssa_tpu.boxspace.box import BoxSpace
+    from krylovfspssa_tpu.ops.stencil import make_stencil_matvec
+    from krylovfspssa_tpu.parallel.sharded import (
+        sharded_box_step_fn,
+        sharded_dilate_fn,
+    )
+
+    config = SolverConfig()
+    model = bursting_gene_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[0, 0]])
+    for s in range(model.n_species):
+        while box.extents[s] < 16:
+            box = box.grow(s)
+
+    mask_np = np.zeros(box.volume, dtype=bool)
+    idx = int(np.asarray(box.flat_index(np.array([[0, 0]])))[0])
+    mask_np[idx] = True
+    w_np = np.zeros(box.volume)
+    w_np[idx] = 1.0
+
+    mesh = make_mesh(8)
+    dilate = sharded_dilate_fn(mesh, box)
+    mask = jnp.asarray(mask_np)
+    for _ in range(5):
+        mask = dilate(mask)
+    w = jnp.asarray(w_np)
+    carry = initial_carry(1.0, 10.0, 1e-10, 1.0, config.m_min)
+    args = (jnp.asarray(10.0), jnp.asarray(1e-4), jnp.asarray(1e-10))
+
+    matvec = make_stencil_matvec(model, box, jnp.float64)
+    step_single = jax.jit(
+        make_step_fn(
+            lambda m: (lambda x: matvec(m, x)),
+            config,
+            op_info=lambda m: (jnp.sum(m).astype(jnp.int32),
+                               model.n_reactions),
+        )
+    )
+    res1 = step_single(mask, w, carry, *args)
+
+    step_sh = sharded_box_step_fn(mesh, model, box, config)
+    res2 = step_sh(mask, w, carry, *args)
+
+    np.testing.assert_allclose(
+        np.asarray(res2.w), np.asarray(res1.w), rtol=1e-12, atol=1e-14
+    )
+    assert float(res2.carry.t_now) == pytest.approx(float(res1.carry.t_now))
+    assert float(res2.wsum) == pytest.approx(float(res1.wsum), rel=1e-12)
+    shard_devs = {s.device for s in res2.w.addressable_shards}
+    assert len(shard_devs) == 8
