@@ -30,11 +30,7 @@ from .boxspace.box import BoxSpace
 from .config import SolverConfig
 from .krylov.stepper import EPS, initial_carry, make_step_fn
 from .models.model import Model
-from .ops.stencil import (
-    active_touches_face,
-    dilate_mask,
-    make_stencil_matvec,
-)
+from .ops.stencil import active_touches_face, dilate_mask
 from .statespace.drop import drop_mask_device
 from .utils.stats import SolverStats, StepRecord
 
@@ -79,7 +75,11 @@ class BoxCmeSolver:
         """Per-box-geometry jitted step/matvec/dilate (cached)."""
         key = (box.log2, box.axis_of_species)
         if key not in self._fns:
-            matvec = make_stencil_matvec(self.model, box, self._dtype)
+            from .ops.stencil import select_stencil_matvec
+
+            matvec = select_stencil_matvec(
+                self.model, box, self.config, self._dtype
+            )
             R = self.model.n_reactions
 
             step = make_step_fn(

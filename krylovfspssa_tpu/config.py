@@ -73,6 +73,10 @@ class SolverConfig:
     #: run the box backend's whole main loop inside one jitted while_loop
     #: (host re-entry only on box growth); False = one device call per step
     fused_steps: bool = True
+    #: stencil SpMV kernel selection: "auto" uses the hand-tiled Pallas
+    #: kernel (ops/pallas_stencil.py) when dtype is float32, the backend is
+    #: a TPU, and the box geometry qualifies; "never"/"always" force it off/on
+    use_pallas: str = "auto"
     #: rounds of mask dilation per expansion event in the box backend (the
     #: SSA+1-step analog; each round activates the 1-step reachable shell)
     box_expand_rounds: int = 4

@@ -29,7 +29,7 @@ import numpy as np
 from ..boxspace.box import BoxSpace
 from ..config import SolverConfig
 from ..models.model import Model
-from ..ops.stencil import dilate_mask, make_stencil_matvec
+from ..ops.stencil import dilate_mask, select_stencil_matvec
 from ..statespace.drop import _N_LEVELS
 from .stepper import StepCarry, make_step_fn
 
@@ -94,7 +94,7 @@ def make_advance_fn(
 
     Static in box geometry / growable axes / max_steps; jit once per box.
     """
-    matvec = make_stencil_matvec(model, box, dtype)
+    matvec = select_stencil_matvec(model, box, config, dtype)
     R = model.n_reactions
     step = make_step_fn(
         lambda mask: (lambda x: matvec(mask, x)),

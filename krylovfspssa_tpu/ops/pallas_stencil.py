@@ -61,6 +61,8 @@ def make_pallas_stencil_matvec(
     box: BoxSpace,
     block_rows: int = 512,
     interpret: bool = False,
+    _debug_const_prop: bool = False,
+    _debug_no_shift: bool = False,
 ):
     """Build matvec(mask, x) -> y (float32) for the current box geometry.
 
@@ -103,6 +105,8 @@ def make_pallas_stencil_matvec(
 
     def _propensity(k: int, coords_f32: list):
         """a_k at the given per-species f32 coordinate arrays."""
+        if _debug_const_prop:  # perf isolation: no expression evaluation
+            return coords_f32[0] * 0.0 + (1.0 + k * 0.25)
         if fns is not None:
             env = {name: coords_f32[s] for s, name in enumerate(names)}
             env.update({name: params[j] for j, name in enumerate(pnames)})
@@ -152,7 +156,7 @@ def make_pallas_stencil_matvec(
             a_k = _propensity(k, [c.astype(jnp.float32) for c in src])
 
             base = c0 + q[k]
-            if r[k] == 0:
+            if _debug_no_shift or r[k] == 0:
                 shifted = win[base : base + B, :]
             else:
                 hi = win[base : base + B, r[k] :]

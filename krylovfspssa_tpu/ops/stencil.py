@@ -108,6 +108,23 @@ def make_stencil_matvec(model: Model, box: BoxSpace, dtype=jnp.float64):
     return matvec
 
 
+def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype):
+    """Pick the SpMV implementation per config.use_pallas ("auto" takes the
+    hand-tiled Pallas kernel for float32 on TPU backends when the box
+    geometry qualifies; the XLA stencil otherwise)."""
+    use = getattr(config, "use_pallas", "auto")
+    if use != "never" and dtype == jnp.float32:
+        from .pallas_stencil import (
+            make_pallas_stencil_matvec,
+            pallas_applicable,
+        )
+
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if use == "always" or (on_tpu and pallas_applicable(box)):
+            return make_pallas_stencil_matvec(model, box)
+    return make_stencil_matvec(model, box, dtype)
+
+
 def dilate_mask(box: BoxSpace, mask: jnp.ndarray) -> jnp.ndarray:
     """One round of 1-step reachability: activate every legal successor of
     an active cell (the ONESTEP_EXTENDER analog, StateSpace.f90:347-396)."""
