@@ -12,6 +12,7 @@ from krylovfspssa_tpu.models.library import (
 )
 from krylovfspssa_tpu.ops.pallas_stencil import (
     make_pallas_stencil_matvec,
+    make_pallas_stencil_matvec_v2,
     pallas_applicable,
 )
 from krylovfspssa_tpu.ops.stencil import make_stencil_matvec
@@ -42,6 +43,30 @@ def test_pallas_matches_xla_stencil(mk, x0, target):
     x = jnp.asarray(rng.random(box.volume), jnp.float32)
     ref = make_stencil_matvec(model, box, jnp.float32)(mask, x)
     got = make_pallas_stencil_matvec(
+        model, box, block_rows=16, interpret=True
+    )(mask, x)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6 * scale
+    )
+
+
+@pytest.mark.parametrize(
+    "mk,x0,target",
+    [
+        (toggle_file_model, [[0, 0]], 64),
+        (toggle_programmatic_model, [[0, 0]], 64),
+        (goutsias_model, [[2, 6, 0, 2, 0, 0]], 8),
+    ],
+)
+def test_pallas_v2_matches_xla_stencil(mk, x0, target):
+    model = mk()
+    box = _grown_box(model, x0, target)
+    rng = np.random.default_rng(3)
+    mask = jnp.asarray(rng.random(box.volume) < 0.6)
+    x = jnp.asarray(rng.random(box.volume), jnp.float32)
+    ref = make_stencil_matvec(model, box, jnp.float32)(mask, x)
+    got = make_pallas_stencil_matvec_v2(
         model, box, block_rows=16, interpret=True
     )(mask, x)
     scale = float(jnp.max(jnp.abs(ref)))
