@@ -64,11 +64,18 @@ def time_matvec(matvec, mask, x, iters=50, repeats=3):
 
         return jax.lax.fori_loop(0, iters, body, x)
 
-    run(x).block_until_ready()
+    # distinct inputs per call: the axon remote relay caches identical
+    # (executable, args) executions, which would fake near-zero timings
+    rng = np.random.default_rng(123)
+    xs = [
+        x * jnp.asarray(1.0 + 1e-3 * rng.random(), dtype)
+        for _ in range(repeats + 1)
+    ]
+    run(xs[0]).block_until_ready()
     best = np.inf
-    for _ in range(repeats):
+    for i in range(repeats):
         t0 = time.perf_counter()
-        run(x).block_until_ready()
+        run(xs[i + 1]).block_until_ready()
         best = min(best, time.perf_counter() - t0)
     return best / iters
 

@@ -65,18 +65,49 @@ def cmd_solve(args) -> int:
         cfg_kwargs["fused_steps"] = False
     config = SolverConfig(**cfg_kwargs)
 
-    solve = solve_cme_box if args.backend == "box" else solve_cme
+    kwargs = {}
+    if args.backend == "box":
+        solve = solve_cme_box
+        if args.checkpoint:
+            kwargs["checkpoint_path"] = args.checkpoint
+            kwargs["checkpoint_every"] = args.checkpoint_every
+        if args.resume:
+            kwargs["resume_from"] = args.resume
+    else:
+        solve = solve_cme
+        if args.checkpoint or args.resume:
+            raise SystemExit(
+                "kfs: checkpoint/resume is a box-backend feature"
+            )
+
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        import jax
+
+        profile_cm = jax.profiler.trace(args.profile)
+
     t0 = time.perf_counter()
-    res = solve(
-        model,
-        args.t,
-        x0,
-        fsp_tol=args.fsp_tol,
-        krylov_tol=args.krylov_tol,
-        config=config,
-        verbosity=args.verbose,
-    )
+    with profile_cm:
+        res = solve(
+            model,
+            args.t,
+            x0,
+            fsp_tol=args.fsp_tol,
+            krylov_tol=args.krylov_tol,
+            config=config,
+            verbosity=args.verbose,
+            **kwargs,
+        )
     wall = time.perf_counter() - t0
+
+    if args.log_steps:
+        import dataclasses as _dc
+
+        with open(args.log_steps, "w") as fh:
+            for rec in res.stats.records:
+                fh.write(json.dumps(_dc.asdict(rec)) + "\n")
 
     s = res.stats
     print(f"model          : {model.name or args.model}")
@@ -192,6 +223,14 @@ def main(argv=None) -> int:
     ps.add_argument("-o", "--output", help="save result to .npz")
     ps.add_argument("--json", action="store_true",
                     help="also print a JSON summary line")
+    ps.add_argument("--checkpoint", help="write solve snapshots to this .npz")
+    ps.add_argument("--checkpoint-every", type=int, default=50,
+                    help="steps between snapshots (default 50)")
+    ps.add_argument("--resume", help="resume a solve from a snapshot .npz")
+    ps.add_argument("--profile",
+                    help="write a jax.profiler trace to this directory")
+    ps.add_argument("--log-steps",
+                    help="write per-step records as JSON lines to this file")
     ps.set_defaults(fn=cmd_solve)
 
     pm = sub.add_parser("models", help="list built-in models")

@@ -41,6 +41,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _lane_roll(a, r: int):
+    """out[:, l] = a[:, (l + r) % LANES] — a left lane rotation by r."""
+    try:
+        # int32 shift: tpu.dynamic_rotate rejects the default i64 literal
+        return pltpu.roll(a, jnp.int32(LANES - r), 1)
+    except Exception:  # interpret mode / non-TPU lowering
+        return jnp.roll(a, LANES - r, axis=1)
+
+
 def pallas_applicable(box: BoxSpace, block_rows: int = 512) -> bool:
     """The kernel needs vol % 128 == 0 and a halo that fits VMEM."""
     if box.volume % LANES != 0:
@@ -247,9 +256,13 @@ def make_pallas_stencil_matvec_v2(
         B //= 2
     B = max(B, 8)
     n_blocks = rows_tot // B
-    c0 = -qmin
-    WR = _round_up(B + (qmax - qmin) + 1, 8)
-    PAD = _round_up(max(-qmin, qmax + 1) + 8, 8)
+    # align the window start to the (8,128) sublane tiling: DMA sources
+    # must start on a tile boundary, so the halo start rounds down to a
+    # multiple of 8 and c0 compensates
+    qmin_al = (qmin // 8) * 8
+    c0 = -qmin_al
+    WR = _round_up(B + (qmax - qmin_al) + 1, 8)
+    PAD = _round_up(max(-qmin_al, qmax + 1) + 8, 8)
 
     def _propensity(k: int, coords_f32: list):
         if fns is not None:
@@ -261,12 +274,12 @@ def make_pallas_stencil_matvec_v2(
             model.custom_propensity(states, k, params), jnp.float32
         )
 
-    def kernel(xp_ref, mp_ref, y_ref, xwin, mwin, sem_x, sem_m):
+    def kernel(xp_ref, mp_ref, mc_ref, y_ref, xwin, mwin, pk_ref, sem_x, sem_m):
         i = pl.program_id(0).astype(jnp.int32)
         nb = pl.num_programs(0)
 
         def dmas(j, slot):
-            w0 = j * jnp.int32(B) + jnp.int32(PAD + qmin)
+            w0 = j * jnp.int32(B) + jnp.int32(PAD + qmin_al)
             return (
                 pltpu.make_async_copy(
                     xp_ref.at[pl.ds(w0, WR), :], xwin.at[slot], sem_x.at[slot]
@@ -297,9 +310,9 @@ def make_pallas_stencil_matvec_v2(
         # and carry zero x, so their p_k contributions vanish.
         row_w = jax.lax.broadcasted_iota(jnp.int32, (WR, LANES), 0)
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (WR, LANES), 1)
-        zw = ((i * jnp.int32(B) + jnp.int32(qmin) + row_w)
+        zw = ((i * jnp.int32(B) + jnp.int32(qmin_al) + row_w)
               * jnp.int32(LANES) + lane_w)
-        zw = jnp.clip(zw, 0, jnp.int32(vol - 1))
+        zw = jnp.minimum(jnp.maximum(zw, jnp.int32(0)), jnp.int32(vol - 1))
         coords_w = [
             ((zw >> jnp.int32(shifts[sp])) & jnp.int32(exts[sp] - 1)).astype(
                 jnp.float32
@@ -321,8 +334,10 @@ def make_pallas_stencil_matvec_v2(
         acc = jnp.zeros((B, LANES), jnp.float32)
         diag = jnp.zeros((B, LANES), jnp.float32)
         for k in range(R):
-            pk = _propensity(k, coords_w) * xm_w  # (WR, LANES)
-            diag = diag + pk[c0 : c0 + B, :]
+            # stage p_k through a VMEM ref: Mosaic allows arbitrary sublane
+            # offsets when slicing refs, but not computed arrays
+            pk_ref[:, :] = _propensity(k, coords_w) * xm_w  # (WR, LANES)
+            diag = diag + pk_ref[c0 : c0 + B, :]
             src_ok = None
             for sp in range(d):
                 nu = int(stoich[k, sp])
@@ -333,10 +348,10 @@ def make_pallas_stencil_matvec_v2(
                 src_ok = ok if src_ok is None else (src_ok & ok)
             base = c0 + q[k]
             if r[k] == 0:
-                shifted = pk[base : base + B, :]
+                shifted = pk_ref[base : base + B, :]
             else:
-                hi = pk[base : base + B, r[k]:]
-                lo = pk[base + 1 : base + B + 1, : r[k]]
+                hi = pk_ref[base : base + B, r[k]:]
+                lo = pk_ref[base + 1 : base + B + 1, : r[k]]
                 shifted = jnp.concatenate([hi, lo], axis=1)
             if src_ok is None:
                 acc = acc + shifted
@@ -352,6 +367,10 @@ def make_pallas_stencil_matvec_v2(
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
         ],
         out_specs=pl.BlockSpec(
             (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
@@ -360,6 +379,7 @@ def make_pallas_stencil_matvec_v2(
         scratch_shapes=[
             pltpu.VMEM((2, WR, LANES), jnp.float32),
             pltpu.VMEM((2, WR, LANES), jnp.int8),
+            pltpu.VMEM((WR, LANES), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
@@ -371,7 +391,7 @@ def make_pallas_stencil_matvec_v2(
         xp = jnp.pad(x2, ((PAD, PAD), (0, 0)))
         m8 = mask.astype(jnp.int8).reshape(rows_tot, LANES)
         mp = jnp.pad(m8, ((PAD, PAD), (0, 0)))
-        y = call(xp, mp)
+        y = call(xp, mp, m8)
         return y.reshape(vol)
 
     return matvec
