@@ -104,7 +104,7 @@ def main():
         ]
         try:
             from krylovfspssa_tpu.ops.pallas_stencil import (
-                make_pallas_stencil_matvec,
+                make_pallas_stencil_matvec_v2,
                 pallas_applicable,
             )
 
@@ -113,7 +113,7 @@ def main():
                     (
                         "pallas-f32",
                         jnp.float32,
-                        make_pallas_stencil_matvec(model, box),
+                        make_pallas_stencil_matvec_v2(model, box),
                     )
                 )
         except Exception as e:  # noqa: BLE001

@@ -115,13 +115,13 @@ def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype):
     use = getattr(config, "use_pallas", "auto")
     if use != "never" and dtype == jnp.float32:
         from .pallas_stencil import (
-            make_pallas_stencil_matvec,
+            make_pallas_stencil_matvec_v2,
             pallas_applicable,
         )
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use == "always" or (on_tpu and pallas_applicable(box)):
-            return make_pallas_stencil_matvec(model, box)
+            return make_pallas_stencil_matvec_v2(model, box)
     return make_stencil_matvec(model, box, dtype)
 
 
