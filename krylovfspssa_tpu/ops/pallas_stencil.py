@@ -220,13 +220,12 @@ def make_pallas_stencil_matvec_v2(
       reuses each evaluation for both the inflow (shifted) and diagonal
       terms (the reference FMATVEC's OFFDIAG/DIAG share the same products,
       KrylovSolver.f90:588-606);
+    * **lazy coordinate decode** — expression propensities only materialize
+      the species they actually reference (bounds VMEM temporaries);
     * **double-buffered window DMA** — the block i+1 window fetch overlaps
-      block i's compute (scratch persists across grid steps).
-
-    Both x and the membership mask are zero-padded by PAD rows (one fused
-    XLA pass each) so every window slice is static; propensities at padding
-    cells are evaluated on clamped coordinates (finite) and multiplied by
-    the zero padding, contributing nothing.
+      block i's compute (scratch persists across grid steps);
+    * x is pre-masked and zero-padded in one fused XLA pass, so the kernel
+      streams a single window; the output mask arrives as an aligned block.
     """
     if model.custom_propensity is not None:
         fns = None
@@ -264,86 +263,96 @@ def make_pallas_stencil_matvec_v2(
     WR = _round_up(B + (qmax - qmin_al) + 1, 8)
     PAD = _round_up(max(-qmin_al, qmax + 1) + 8, 8)
 
-    def _propensity(k: int, coords_f32: list):
+    class _LazyCoords:
+        """Expression env computing species coordinates on first access
+        (a Mapping over all species + parameter names)."""
+
+        def __init__(self, zw):
+            self._zw = zw
+            self._cache = {name: params[j] for j, name in enumerate(pnames)}
+
+        def __iter__(self):
+            return iter(list(self._cache) + names)
+
+        def __len__(self):
+            return len(self._cache) + len(names)
+
+        def __getitem__(self, name):
+            if name not in self._cache:
+                sp = names.index(name)
+                self._cache[name] = (
+                    (self._zw >> jnp.int32(shifts[sp]))
+                    & jnp.int32(exts[sp] - 1)
+                ).astype(jnp.float32)
+            return self._cache[name]
+
+    def _propensity(k: int, zw):
         if fns is not None:
-            env = {name: coords_f32[sp] for sp, name in enumerate(names)}
-            env.update({name: params[j] for j, name in enumerate(pnames)})
-            return jnp.asarray(fns[k](env), jnp.float32)
-        states = jnp.stack(coords_f32, axis=-1)
+            return jnp.asarray(fns[k](_LazyCoords(zw)), jnp.float32)
+        coords = [
+            ((zw >> jnp.int32(shifts[sp])) & jnp.int32(exts[sp] - 1)).astype(
+                jnp.float32
+            )
+            for sp in range(d)
+        ]
+        states = jnp.stack(coords, axis=-1)
         return jnp.asarray(
             model.custom_propensity(states, k, params), jnp.float32
         )
 
-    def kernel(xp_ref, mp_ref, mc_ref, y_ref, xwin, mwin, pk_ref, sem_x, sem_m):
+    def kernel(xp_ref, mc_ref, y_ref, xwin, pk_ref, sem_x):
         i = pl.program_id(0).astype(jnp.int32)
         nb = pl.num_programs(0)
 
-        def dmas(j, slot):
+        def dma(j, slot):
             w0 = j * jnp.int32(B) + jnp.int32(PAD + qmin_al)
-            return (
-                pltpu.make_async_copy(
-                    xp_ref.at[pl.ds(w0, WR), :], xwin.at[slot], sem_x.at[slot]
-                ),
-                pltpu.make_async_copy(
-                    mp_ref.at[pl.ds(w0, WR), :], mwin.at[slot], sem_m.at[slot]
-                ),
+            return pltpu.make_async_copy(
+                xp_ref.at[pl.ds(w0, WR), :], xwin.at[slot], sem_x.at[slot]
             )
 
         @pl.when(i == 0)
         def _():
-            for dma in dmas(jnp.int32(0), jnp.int32(0)):
-                dma.start()
+            dma(jnp.int32(0), jnp.int32(0)).start()
 
         slot = jax.lax.rem(i, jnp.int32(2))
         nslot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
 
         @pl.when(i + 1 < nb)
         def _():
-            for dma in dmas(i + jnp.int32(1), nslot):
-                dma.start()
+            dma(i + jnp.int32(1), nslot).start()
 
-        for dma in dmas(i, slot):
-            dma.wait()
+        dma(i, slot).wait()
 
-        # window cell coordinates: window row wj corresponds to global row
-        # i*B + qmin + wj; padding rows decode to clamped (finite) coords
-        # and carry zero x, so their p_k contributions vanish.
+        # window cell flat indices: window row wj = global row
+        # i*B + qmin_al + wj; padding rows clamp to genuine cells whose
+        # x is zero, so their p_k contributions vanish
         row_w = jax.lax.broadcasted_iota(jnp.int32, (WR, LANES), 0)
         lane_w = jax.lax.broadcasted_iota(jnp.int32, (WR, LANES), 1)
         zw = ((i * jnp.int32(B) + jnp.int32(qmin_al) + row_w)
               * jnp.int32(LANES) + lane_w)
         zw = jnp.minimum(jnp.maximum(zw, jnp.int32(0)), jnp.int32(vol - 1))
-        coords_w = [
-            ((zw >> jnp.int32(shifts[sp])) & jnp.int32(exts[sp] - 1)).astype(
-                jnp.float32
-            )
-            for sp in range(d)
-        ]
 
         # center coordinates for source validity (always genuine cells)
         row_c = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 0)
         lane_c = jax.lax.broadcasted_iota(jnp.int32, (B, LANES), 1)
         zc = (i * jnp.int32(B) + row_c) * jnp.int32(LANES) + lane_c
-        coords_c = [
-            (zc >> jnp.int32(shifts[sp])) & jnp.int32(exts[sp] - 1)
-            for sp in range(d)
-        ]
 
-        xm_w = jnp.where(mwin[slot] != 0, xwin[slot], 0.0)
+        xm_w = xwin[slot]
 
         acc = jnp.zeros((B, LANES), jnp.float32)
         diag = jnp.zeros((B, LANES), jnp.float32)
         for k in range(R):
             # stage p_k through a VMEM ref: Mosaic allows arbitrary sublane
             # offsets when slicing refs, but not computed arrays
-            pk_ref[:, :] = _propensity(k, coords_w) * xm_w  # (WR, LANES)
+            pk_ref[:, :] = _propensity(k, zw) * xm_w  # (WR, LANES)
             diag = diag + pk_ref[c0 : c0 + B, :]
             src_ok = None
             for sp in range(d):
                 nu = int(stoich[k, sp])
                 if nu == 0:
                     continue
-                c = coords_c[sp] - jnp.int32(nu)
+                c = ((zc >> jnp.int32(shifts[sp]))
+                     & jnp.int32(exts[sp] - 1)) - jnp.int32(nu)
                 ok = (c >= 0) & (c < jnp.int32(exts[sp]))
                 src_ok = ok if src_ok is None else (src_ok & ok)
             base = c0 + q[k]
@@ -358,14 +367,12 @@ def make_pallas_stencil_matvec_v2(
             else:
                 acc = acc + jnp.where(src_ok, shifted, 0.0)
 
-        mask_c = mwin[slot][c0 : c0 + B, :]
-        y_ref[:, :] = jnp.where(mask_c != 0, acc - diag, 0.0)
+        y_ref[:, :] = jnp.where(mc_ref[:, :] != 0, acc - diag, 0.0)
 
     call = pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(
                 (B, LANES), lambda i: (i, jnp.int32(0)),
@@ -378,20 +385,19 @@ def make_pallas_stencil_matvec_v2(
         out_shape=jax.ShapeDtypeStruct((rows_tot, LANES), jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, WR, LANES), jnp.float32),
-            pltpu.VMEM((2, WR, LANES), jnp.int8),
             pltpu.VMEM((WR, LANES), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )
 
     def matvec(mask, x):
-        x2 = x.astype(jnp.float32).reshape(rows_tot, LANES)
-        xp = jnp.pad(x2, ((PAD, PAD), (0, 0)))
+        xm = jnp.where(mask, x, 0).astype(jnp.float32).reshape(
+            rows_tot, LANES
+        )
+        xp = jnp.pad(xm, ((PAD, PAD), (0, 0)))
         m8 = mask.astype(jnp.int8).reshape(rows_tot, LANES)
-        mp = jnp.pad(m8, ((PAD, PAD), (0, 0)))
-        y = call(xp, mp, m8)
+        y = call(xp, m8)
         return y.reshape(vol)
 
     return matvec
