@@ -49,7 +49,12 @@ def build_box(target_m=64, target_d=64, target_rna=16):
     return model, box
 
 
-def time_matvec(matvec, mask, x, iters=50, repeats=3):
+def time_matvec(matvec, mask, x, iters=400, repeats=2):
+    """Per-matvec seconds from a chained device-side fori_loop.
+
+    iters amortizes the per-dispatch latency (the axon tunnel adds ~27 ms
+    per call, which at 50 iters would inflate every reading by ~0.5 ms).
+    """
     import jax
     import jax.numpy as jnp
 

@@ -64,6 +64,8 @@ class BoxCmeSolver:
     def __init__(self, model: Model, config: SolverConfig | None = None):
         self.model = model
         self.config = config or SolverConfig()
+        if self.config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self._dtype = (
             jnp.float64 if self.config.dtype == "float64" else jnp.float32
         )

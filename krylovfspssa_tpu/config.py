@@ -102,6 +102,11 @@ class SolverConfig:
     # ---- observability --------------------------------------------------
     #: 0 = silent, 1 = per-step stats (reference ITRACE/PRINT_STATS)
     verbosity: int = 0
+    #: enable jax_debug_nans for the solve — every NaN-producing op raises
+    #: immediately instead of flowing into the ISNAN tau/5 retry
+    #: (KrylovSolver.f90:307); off by default for parity with the
+    #: reference's silent-retry behaviour
+    debug_nans: bool = False
     #: take at most this many accepted steps inside one jitted device loop
     #: before returning control to the host (bounds host-sync latency)
     max_steps_per_call: int = 1_000

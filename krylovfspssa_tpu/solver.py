@@ -67,6 +67,8 @@ class CmeSolver:
     def __init__(self, model: Model, config: SolverConfig | None = None):
         self.model = model
         self.config = config or SolverConfig()
+        if self.config.debug_nans:
+            jax.config.update("jax_debug_nans", True)
         self.encoder = StateEncoder.for_model(
             model.n_species, self.config.max_molecules
         )
