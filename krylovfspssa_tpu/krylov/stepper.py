@@ -229,7 +229,7 @@ def make_step_fn(
         m0 = jnp.maximum(m0, 1)
         beta = sc.beta
 
-        V0 = jnp.zeros((MH, cap), dtype=f).at[0].set(w / beta)
+        V0 = jnp.zeros((MH, cap), dtype=f).at[0].set((w / beta).astype(f))
         H0 = jnp.zeros((MH, MH), dtype=f)
 
         # ---------------------------------------------- attempt loop -----
@@ -293,7 +293,9 @@ def make_step_fn(
             # ---- expm + local error, with NaN tau/5 retry (401-310) -----
             mx = a.mbrk + a.k1
             m_f = a.m.astype(f)
-            Hbar = a.H.at[a.m + 1, a.m].set(jnp.asarray(1.0, f))
+            # the (m+2)^2 Hessenberg exponential always runs in float64
+            # (reference parity; the matrix is tiny so cost is negligible)
+            Hbar = a.H.astype(jnp.float64).at[a.m + 1, a.m].set(1.0)
 
             def expm_err(carry):
                 t_step, _, _, _, nexph, nscale = carry
@@ -468,9 +470,9 @@ def make_step_fn(
             k1=jnp.asarray(2, jnp.int32),
             mbrk=m0,
             avnorm=jnp.asarray(0.0, f),
-            hnorm=jnp.asarray(0.0, f),
-            E=jnp.zeros((MH, MH), dtype=f),
-            err_loc=jnp.asarray(0.0, f),
+            hnorm=jnp.asarray(0.0, jnp.float64),
+            E=jnp.zeros((MH, MH), dtype=jnp.float64),
+            err_loc=jnp.asarray(0.0, jnp.float64),
             ireject=jnp.asarray(0, jnp.int32),
             imreject=jnp.asarray(0, jnp.int32),
             omega=sc.omega,
@@ -500,10 +502,10 @@ def make_step_fn(
 
         # ------------------------------- FSP criterion loop (442-495) ----
         row_in = jnp.arange(MH) < mx
-        Hbar = a.H.at[a.m + 1, a.m].set(jnp.asarray(1.0, f))
+        Hbar = a.H.astype(jnp.float64).at[a.m + 1, a.m].set(1.0)
 
         def assemble_w(E):
-            coeff = jnp.where(row_in, E[:, 0], 0.0) * beta
+            coeff = (jnp.where(row_in, E[:, 0], 0.0) * beta).astype(f)
             wc = coeff @ a.V  # (MH,) @ (MH, cap)
             return jnp.maximum(wc, 0.0)
 
@@ -522,7 +524,8 @@ def make_step_fn(
 
         def fsp_check(fc: FC) -> FC:
             w_c = assemble_w(fc.E)
-            wsum = jnp.sum(w_c)
+            # mass criterion always accumulates in float64
+            wsum = jnp.sum(w_c.astype(jnp.float64))
             ok = wsum >= (1.0 - bound(sc.t_now + fc.t_step))
             return fc._replace(w=w_c, wsum=wsum, ok=ok)
 
@@ -572,9 +575,9 @@ def make_step_fn(
                 E=a.E,
                 t_step=a.t_step,
                 w=w,
-                wsum=jnp.asarray(0.0, f),
+                wsum=jnp.asarray(0.0, jnp.float64),
                 irejectfsp=jnp.asarray(0, jnp.int32),
-                error_old=jnp.asarray(1.0, f),
+                error_old=jnp.asarray(1.0, jnp.float64),
                 tau_old=a.t_step,
                 ok=jnp.asarray(False),
                 abandon=jnp.asarray(False),
@@ -590,7 +593,7 @@ def make_step_fn(
 
         # --------------------------- post-step bookkeeping (497-550) -----
         # abandon path (466-470): revert w, do not advance time
-        w_final = jnp.where(fc.abandon, beta * a.V[0], fc.w)
+        w_final = jnp.where(fc.abandon, beta.astype(f) * a.V[0], fc.w)
         advanced = ~fc.abandon
         t_now_new = jnp.where(advanced, sc.t_now + fc.t_step, sc.t_now)
         wsum_new = jnp.where(advanced, fc.wsum, sc.wsum_old)
@@ -610,7 +613,7 @@ def make_step_fn(
         )
         t_ssa = jnp.minimum(t_new_eff, t_out_abs - t_now_new)
 
-        beta_new = jnp.sqrt(jnp.sum(w_final * w_final))
+        beta_new = jnp.sqrt(jnp.sum((w_final * w_final).astype(jnp.float64)))
         err_final = jnp.maximum(a.err_loc, rndoff)
         carry = StepCarry(
             t_now=t_now_new,

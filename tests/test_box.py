@@ -172,6 +172,23 @@ def test_fused_loop_matches_host_loop():
         assert d_f.get(k, 0.0) == pytest.approx(d_u.get(k, 0.0), abs=1e-14)
 
 
+def test_float32_mode_matches_float64():
+    """dtype=float32 (the Pallas-kernel mode on TPU) must agree with the
+    f64 default to well within the FSP tolerance; the mass criterion and
+    small-H expm stay f64 in both modes."""
+    model = bursting_gene_model()
+    r64 = solve_cme_box(model, 20.0, [[0, 0]], fsp_tol=1e-5,
+                        krylov_tol=1e-8)
+    r32 = solve_cme_box(model, 20.0, [[0, 0]], fsp_tol=1e-5,
+                        krylov_tol=1e-8,
+                        config=SolverConfig(dtype="float32"))
+    assert r32.wsum >= 1.0 - 1e-5
+    d64 = {tuple(s): p for s, p in zip(r64.states, r64.probabilities)}
+    d32 = {tuple(s): p for s, p in zip(r32.states, r32.probabilities)}
+    for k in set(d64) | set(d32):
+        assert d32.get(k, 0.0) == pytest.approx(d64.get(k, 0.0), abs=1e-5)
+
+
 def test_box_solver_grows_box():
     model = bursting_gene_model()
     res = solve_cme_box(
