@@ -57,6 +57,22 @@ class BoxSolveResult:
     def wsum(self) -> float:
         return float(self.probabilities.sum())
 
+    def marginal(self, species: int) -> np.ndarray:
+        """Marginal distribution of one species (utils/queries.py)."""
+        from .utils.queries import marginal
+
+        return marginal(self.states, self.probabilities, species)
+
+    def mean(self) -> np.ndarray:
+        from .utils.queries import mean
+
+        return mean(self.states, self.probabilities)
+
+    def variance(self) -> np.ndarray:
+        from .utils.queries import variance
+
+        return variance(self.states, self.probabilities)
+
 
 class BoxCmeSolver:
     """Reusable box-backend solver bound to one model."""
