@@ -90,14 +90,15 @@ class BoxCmeSolver:
     # ---------------------------------------------------------------- #
 
     def _functions(self, box: BoxSpace):
-        """Per-box-geometry jitted step/matvec/dilate (cached)."""
+        """Per-box-geometry jitted step/matvec/dilate/dilate_n (cached)."""
         key = (box.log2, box.axis_of_species)
         if key not in self._fns:
-            from .ops.stencil import select_stencil_matvec
+            from .ops.stencil import make_diag_fn, select_stencil_matvec
 
             matvec = select_stencil_matvec(
                 self.model, box, self.config, self._dtype
             )
+            diag = make_diag_fn(self.model, box, jnp.float64)
             R = self.model.n_reactions
 
             step = make_step_fn(
@@ -105,12 +106,67 @@ class BoxCmeSolver:
                 self.config,
                 op_info=lambda mask: (jnp.sum(mask).astype(jnp.int32), R),
             )
+
+            def dilate_n(m, k):
+                def dil(c):
+                    mm, i = c
+                    return dilate_mask(box, mm), i + 1
+
+                mm, _ = jax.lax.while_loop(
+                    lambda c: c[1] < k, dil, (m, jnp.asarray(0, jnp.int32))
+                )
+                return mm
+
+            def lam_max(m, w):
+                support = m & (w.astype(jnp.float64) > self.config.droptol_start)
+                support = jnp.where(jnp.any(support), support, m)
+                return jnp.max(jnp.where(support, diag(m), 0.0))
+
             self._fns[key] = (
                 jax.jit(step),
                 jax.jit(matvec),
                 jax.jit(lambda m: dilate_mask(box, m)),
+                jax.jit(dilate_n),
+                jax.jit(lam_max),
             )
         return self._fns[key]
+
+    def _shrink_if_loose(self, box, mask_np, w_np):
+        """Halve axes whose active cells fit in the shrink fraction.
+
+        The box only ever grows in the reference-free design; after a
+        transient (or a large drop) the bounding power-of-two can be far
+        larger than the support, wasting matvec compute and Krylov-basis
+        HBM.  Hysteresis (default 3/8 < 1/2) avoids grow/shrink churn; the
+        geometry cache makes revisiting a previous shape free.
+        """
+        cfg = self.config
+        if cfg.box_shrink_fraction <= 0.0:
+            return box, mask_np, w_np
+        while True:
+            m = mask_np.reshape(box.shape)
+            changed = False
+            for s in range(box.n_species):
+                ax = box.axis_of_species[s]
+                ext = box.shape[ax]
+                if ext <= (1 << cfg.box_min_log2):
+                    continue
+                other = tuple(i for i in range(len(box.shape)) if i != ax)
+                per = m.any(axis=other)
+                hi = int(np.nonzero(per)[0].max()) if per.any() else -1
+                if hi + 1 <= cfg.box_shrink_fraction * ext:
+                    new_box = box.shrink(s)
+                    mask_np = np.asarray(
+                        new_box.embed(box, jnp.asarray(mask_np), fill=False)
+                    )
+                    w_np = np.asarray(
+                        new_box.embed(box, jnp.asarray(w_np), fill=0.0)
+                    )
+                    box = new_box
+                    changed = True
+                    break
+            if not changed:
+                return box, mask_np, w_np
 
     def _grow_until_fits(self, box, mask_np, w_np):
         """Grow axes whose faces are touched by active cells."""
@@ -184,7 +240,7 @@ class BoxCmeSolver:
             # start-up expansion (KrylovSolver.f90:130-134)
             for _ in range(cfg.init_onestep_expansions):
                 box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
-                _, _, dilate = self._functions(box)
+                dilate = self._functions(box)[2]
                 mask_np = np.asarray(dilate(jnp.asarray(mask_np)))
             box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
 
@@ -218,7 +274,9 @@ class BoxCmeSolver:
             )
 
         iteration = 0
-        step_jit, matvec_jit, dilate_jit = self._functions(box)
+        step_jit, matvec_jit, dilate_jit, dilate_n_jit, lam_jit = (
+            self._functions(box)
+        )
 
         while float(carry.t_now) < abs(t):
             iteration += 1
@@ -259,9 +317,17 @@ class BoxCmeSolver:
                     )
 
             # ---- expansion = K dilation rounds + face growth -----------
+            # K event-scales with the SSA horizon (SSA_EXTENDER analog)
             if iexpand and float(carry.t_now) < abs(t):
-                for _ in range(cfg.box_expand_rounds):
-                    mask = dilate_jit(mask)
+                from .ops.stencil import expansion_rounds
+
+                k = expansion_rounds(
+                    lam_jit(mask, w),
+                    jnp.asarray(float(res.t_ssa), jnp.float64),
+                    cfg.box_expand_rounds,
+                    cfg.box_expand_rounds_max,
+                )
+                mask = dilate_n_jit(mask, k)
                 mask_np = np.asarray(mask)
                 w_np = np.asarray(w, dtype=np.float64)
                 new_box, mask_np, w_np = self._grow_until_fits(
@@ -269,7 +335,8 @@ class BoxCmeSolver:
                 )
                 if new_box is not box:
                     box = new_box
-                    step_jit, matvec_jit, dilate_jit = self._functions(box)
+                    (step_jit, matvec_jit, dilate_jit, dilate_n_jit,
+                     lam_jit) = self._functions(box)
                     mask = jnp.asarray(mask_np)
                     w = jnp.asarray(w_np, dtype=self._dtype)
                     # one more dilation round inside the grown box
@@ -389,18 +456,30 @@ class BoxCmeSolver:
                 new_box, mask_np, w_np = self._grow_until_fits(
                     box, mask_np, w_np
                 )
+                # other axes may have gone loose (post-transient)
+                new_box, mask_np, w_np = self._shrink_if_loose(
+                    new_box, mask_np, w_np
+                )
                 if new_box is not box:
                     box = new_box
                     mask = jnp.asarray(mask_np)
                     w = jnp.asarray(w_np, dtype=self._dtype)
-                    _, _, dilate_jit = self._functions(box)
-                    mask = dilate_jit(mask)
+                    mask = self._functions(box)[2](mask)
                 else:
                     # face touched but nothing growable: states at the cap
                     # simply truncate (reference MAXNUMBERMOLECULES analog);
                     # continue without growth
                     pass
-            # EVENT_BUDGET: just loop again
+            elif event == EVENT_BUDGET:
+                mask_np = np.asarray(mask)
+                w_np = np.asarray(w, dtype=np.float64)
+                new_box, mask_np, w_np = self._shrink_if_loose(
+                    box, mask_np, w_np
+                )
+                if new_box is not box:
+                    box = new_box
+                    mask = jnp.asarray(mask_np)
+                    w = jnp.asarray(w_np, dtype=self._dtype)
         return box, mask, w, carry, stats
 
     def _maybe_checkpoint(self, box, mask, w, carry, t_out, fsptol, krytol):

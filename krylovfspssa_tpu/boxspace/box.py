@@ -158,14 +158,25 @@ class BoxSpace:
         lg[ax] += 1
         return dataclasses.replace(self, log2=tuple(lg))
 
-    def embed(self, old: "BoxSpace", arr_old: jnp.ndarray, fill=0):
-        """Re-embed a flat array from an old (smaller) box into this one.
+    def shrink(self, species: int) -> "BoxSpace":
+        """Halve the extent of one species' axis (caller must have checked
+        that no active cell lies in the upper half)."""
+        ax = self.axis_of_species[species]
+        lg = list(self.log2)
+        lg[ax] -= 1
+        return dataclasses.replace(self, log2=tuple(lg))
 
-        Both boxes must share the axis permutation; each axis of the old box
-        is a prefix range of the new one.
+    def embed(self, old: "BoxSpace", arr_old: jnp.ndarray, fill=0):
+        """Re-embed a flat array from another box into this one.
+
+        Both boxes must share the axis permutation; each shared axis range
+        is a prefix.  Axes that grew are padded with ``fill``; axes that
+        shrank are truncated (the caller guarantees the truncated region is
+        inactive).
         """
         assert old.axis_of_species == self.axis_of_species
         a = arr_old.reshape(old.shape)
-        pads = [(0, ns - os) for ns, os in zip(self.shape, old.shape)]
+        a = a[tuple(slice(0, min(ns, os)) for ns, os in zip(self.shape, old.shape))]
+        pads = [(0, max(0, ns - os)) for ns, os in zip(self.shape, old.shape)]
         a = jnp.pad(a, pads, constant_values=fill)
         return a.reshape(self.volume)

@@ -77,11 +77,25 @@ class SolverConfig:
     #: kernel (ops/pallas_stencil.py) when dtype is float32, the backend is
     #: a TPU, and the box geometry qualifies; "never"/"always" force it off/on
     use_pallas: str = "auto"
-    #: rounds of mask dilation per expansion event in the box backend (the
-    #: SSA+1-step analog; each round activates the 1-step reachable shell)
+    #: minimum rounds of mask dilation per expansion event in the box
+    #: backend (the SSA+1-step analog; each round activates the 1-step
+    #: reachable shell)
     box_expand_rounds: int = 4
-    #: hard cap on box volume (cells); growth beyond this raises
-    max_box_volume: int = 1 << 24
+    #: cap on the *event-scaled* dilation count per expansion.  The
+    #: reference's SSA walks explore ~diag(x)*t_ssa reaction events ahead
+    #: (StateSpace.f90:577-588); the box backend matches that reach with
+    #: K = ceil(lam*t_ssa + 3*sqrt(lam*t_ssa)) + 1 dilation rounds (a
+    #: Poisson tail quantile), lam = max total propensity over
+    #: mass-supported cells, clipped to [box_expand_rounds, this].
+    box_expand_rounds_max: int = 256
+    #: hard cap on box volume (cells); growth beyond this raises.  The
+    #: Krylov basis holds (m_max+2) box-sized vectors, so float64 at the
+    #: default m_max=100 needs vol*816 bytes of HBM (8 GB at 2^23).
+    max_box_volume: int = 1 << 23
+    #: shrink a box axis (halve its extent) when the active cells occupy
+    #: at most this fraction of it; 0 disables shrinking.  Checked on host
+    #: re-entries; hysteresis below the 1/2 growth threshold avoids churn.
+    box_shrink_fraction: float = 0.375
     #: smallest per-axis log2 extent
     box_min_log2: int = 2
 

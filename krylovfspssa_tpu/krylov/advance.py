@@ -29,7 +29,12 @@ import numpy as np
 from ..boxspace.box import BoxSpace
 from ..config import SolverConfig
 from ..models.model import Model
-from ..ops.stencil import dilate_mask, select_stencil_matvec
+from ..ops.stencil import (
+    dilate_mask,
+    expansion_rounds,
+    make_diag_fn,
+    select_stencil_matvec,
+)
 from ..statespace.drop import _N_LEVELS
 from .stepper import StepCarry, make_step_fn
 
@@ -105,6 +110,8 @@ def make_advance_fn(
     inflow_guard = config.inflow_guard
     drop_fraction = config.drop_fraction
     expand_rounds = config.box_expand_rounds
+    expand_rounds_max = config.box_expand_rounds_max
+    diag_fn = make_diag_fn(model, box, jnp.float64)
 
     def drop_inline(mask, w, dsum, carry):
         """DROP_STATES as pure mask arithmetic (StateSpace.f90:398-548)."""
@@ -136,9 +143,22 @@ def make_advance_fn(
         )
         return mask_new, w_new, carry, jnp.where(do, count, 0)
 
-    def expand_inline(mask):
-        for _ in range(expand_rounds):
-            mask = dilate_mask(box, mask)
+    def expand_inline(mask, w, t_ssa):
+        """SSA_EXTENDER analog (StateSpace.f90:550-630): dilate by the
+        event-count the reference's walks would cover in t_ssa."""
+        w64 = w.astype(jnp.float64)
+        support = mask & (w64 > droptol_start)
+        support = jnp.where(jnp.any(support), support, mask)
+        lam = jnp.max(jnp.where(support, diag_fn(mask), 0.0))
+        k = expansion_rounds(lam, t_ssa, expand_rounds, expand_rounds_max)
+
+        def dil(c):
+            m, i = c
+            return dilate_mask(box, m), i + 1
+
+        mask, _ = jax.lax.while_loop(
+            lambda c: c[1] < k, dil, (mask, jnp.asarray(0, jnp.int32))
+        )
         return mask
 
     def advance(w, mask, carry: StepCarry, t_out, fsptol, krytol):
@@ -166,7 +186,12 @@ def make_advance_fn(
 
             # ---- expansion (KrylovSolver.f90:516-534) ------------------
             do_expand = res.iexpand
-            mask = jax.lax.cond(do_expand, expand_inline, lambda m: m, mask)
+            mask = jax.lax.cond(
+                do_expand,
+                lambda args: expand_inline(*args),
+                lambda args: args[0],
+                (mask, w, res.t_ssa),
+            )
             n_exp = n_exp + do_expand
 
             # ---- events ------------------------------------------------

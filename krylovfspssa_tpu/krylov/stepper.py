@@ -505,8 +505,16 @@ def make_step_fn(
         Hbar = a.H.astype(jnp.float64).at[a.m + 1, a.m].set(1.0)
 
         def assemble_w(E):
+            # w = beta * V @ E[:,0] (KrylovSolver.f90:444) as a bounded AXPY
+            # loop: a dot_general here materializes an (emulation x MH x n)
+            # HLO temp — 13 GB at n=4.2M in float64 on TPU — while the loop
+            # peaks at O(n).
             coeff = (jnp.where(row_in, E[:, 0], 0.0) * beta).astype(f)
-            wc = coeff @ a.V  # (MH,) @ (MH, cap)
+
+            def axpy(j, acc):
+                return acc + coeff[j] * a.V[j]
+
+            wc = jax.lax.fori_loop(0, mx, axpy, jnp.zeros(cap, dtype=f))
             return jnp.maximum(wc, 0.0)
 
         class FC(NamedTuple):

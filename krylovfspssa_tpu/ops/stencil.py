@@ -125,6 +125,33 @@ def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype):
     return make_stencil_matvec(model, box, dtype)
 
 
+def make_diag_fn(model: Model, box: BoxSpace, dtype=jnp.float64):
+    """Build diag(mask) -> total propensity sum_k a_k(x) per active cell
+    (0 elsewhere) — the reference's DIAG column (StateSpace.f90:211-212),
+    used here to event-scale FSP expansion (diag * t = expected number of
+    reaction firings at that state over horizon t)."""
+    evaluate = make_propensity_evaluator(model, box, dtype)
+    R = model.n_reactions
+    vol = box.volume
+
+    def diag(mask):
+        flat = jax.lax.broadcasted_iota(jnp.int64, (vol, 1), 0)[:, 0]
+        d = sum(evaluate(flat, k) for k in range(R))
+        return jnp.where(mask, d, 0)
+
+    return diag
+
+
+def expansion_rounds(lam, t_ssa, rounds_min: int, rounds_max: int):
+    """Dilation count matching the reference SSA extender's reach: the
+    number of reaction events in time t at rate lam is Poisson(lam*t);
+    cover its upper tail with ev + 3*sqrt(ev) + 1 shells (the FSP
+    criterion loop remains the backstop for the truncated tail)."""
+    ev = jnp.maximum(t_ssa, 0.0) * jnp.maximum(lam, 0.0)
+    k = jnp.ceil(ev + 3.0 * jnp.sqrt(ev)) + 1.0
+    return jnp.clip(k, rounds_min, rounds_max).astype(jnp.int32)
+
+
 def dilate_mask(box: BoxSpace, mask: jnp.ndarray) -> jnp.ndarray:
     """One round of 1-step reachability: activate every legal successor of
     an active cell (the ONESTEP_EXTENDER analog, StateSpace.f90:347-396)."""
