@@ -21,9 +21,40 @@ Float64 is required for the FSP mass criterion (1 - wsum ~ 1e-6..1e-8), so
 importing this package enables JAX x64 mode.
 """
 
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the fused main-loop executable is large
+# (nested while_loops + emulated-f64 expm) and can take minutes to compile
+# on a TPU backend; caching it on disk makes every solve after the first
+# start instantly.  Opt out with KFS_NO_COMPILE_CACHE=1 or point
+# KFS_COMPILE_CACHE_DIR elsewhere (JAX's own JAX_COMPILATION_CACHE_DIR
+# takes precedence if the user set it).
+if not _os.environ.get("KFS_NO_COMPILE_CACHE"):
+    if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+        _cache_dir = _os.environ.get(
+            "KFS_COMPILE_CACHE_DIR",
+            _os.path.join(
+                _os.path.expanduser("~"), ".cache", "kfs_jax_cache"
+            ),
+        )
+        try:
+            _os.makedirs(_cache_dir, exist_ok=True)
+            _jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        except OSError:
+            pass
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    # keep only the JAX-level executable cache; XLA's nested AOT caches
+    # key on exact host CPU feature flags and spam mismatch warnings when
+    # test (CPU) and bench (TPU tunnel) processes share the directory
+    try:
+        _jax.config.update("jax_persistent_cache_enable_xla_caches", "none")
+    except Exception:
+        pass
 
 from .config import SolverConfig
 from .models.model import Model, load_model

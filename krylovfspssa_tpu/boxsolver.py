@@ -75,17 +75,116 @@ class BoxSolveResult:
 
 
 class BoxCmeSolver:
-    """Reusable box-backend solver bound to one model."""
+    """Reusable box-backend solver bound to one model.
 
-    def __init__(self, model: Model, config: SolverConfig | None = None):
+    Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) to run the ENTIRE solve —
+    the fused adaptive main loop, drop, dilation expansion, and the FSP
+    criterion — with the flat cell axis row-partitioned across devices.
+    Every state-set mutation on the masked box is elementwise, so the only
+    communication is the stencil's shard-boundary halo (GSPMD collective
+    permutes), the psum reductions inside Arnoldi/criterion, and the rare
+    host-visible box growth (re-embedded on host and re-sharded).  This is
+    the multi-chip scaling path of SURVEY.md §2 (parallelism items 1-4);
+    the reference is single-core Fortran with no counterpart.
+    """
+
+    def __init__(
+        self,
+        model: Model,
+        config: SolverConfig | None = None,
+        mesh=None,
+    ):
         self.model = model
         self.config = config or SolverConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            self._row = NamedSharding(mesh, PartitionSpec(axis))
+            self._rep = NamedSharding(mesh, PartitionSpec())
+            if self.config.use_pallas != "never":
+                # the hand-tiled Pallas kernel is single-device; under a
+                # mesh the XLA stencil partitions via GSPMD instead (the
+                # shard_map + halo-exchange Pallas path is ops/halo.py)
+                self.config = dataclasses.replace(
+                    self.config, use_pallas="never"
+                )
+        else:
+            self._row = self._rep = None
         if self.config.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self._dtype = (
             jnp.float64 if self.config.dtype == "float64" else jnp.float32
         )
         self._fns: dict = {}
+
+    # ---------------------------------------------------------------- #
+
+    def _put_row(self, arr, dtype=None):
+        """Device-put a flat cell-axis array (row-sharded under a mesh)."""
+        a = jnp.asarray(arr) if dtype is None else jnp.asarray(arr, dtype)
+        if self._row is not None:
+            return jax.device_put(a, self._row)
+        return a
+
+    def _jit_step(self, step):
+        if self.mesh is None:
+            return jax.jit(step)
+        from .krylov.stepper import StepResult
+
+        carry_rep = jax.tree.map(lambda _: self._rep, _carry_struct())
+        return jax.jit(
+            step,
+            in_shardings=(
+                self._row,  # mask
+                self._row,  # w
+                carry_rep,
+                self._rep,
+                self._rep,
+                self._rep,
+            ),
+            out_shardings=StepResult(
+                w=self._row,
+                carry=carry_rep,
+                advanced=self._rep,
+                iexpand=self._rep,
+                t_ssa=self._rep,
+                dsum=self._rep,
+                wsum=self._rep,
+                t_step=self._rep,
+                m_used=self._rep,
+                err_loc=self._rep,
+            ),
+        )
+
+    def _jit_advance(self, advance):
+        if self.mesh is None:
+            return jax.jit(advance)
+        from .krylov.advance import AdvanceState
+
+        carry_rep = jax.tree.map(lambda _: self._rep, _carry_struct())
+        return jax.jit(
+            advance,
+            in_shardings=(
+                self._row,  # w
+                self._row,  # mask
+                carry_rep,
+                self._rep,
+                self._rep,
+                self._rep,
+            ),
+            out_shardings=AdvanceState(
+                w=self._row,
+                mask=self._row,
+                carry=carry_rep,
+                event=self._rep,
+                steps=self._rep,
+                records=self._rep,
+                n_drops=self._rep,
+                n_expansions=self._rep,
+            ),
+        )
 
     # ---------------------------------------------------------------- #
 
@@ -122,13 +221,33 @@ class BoxCmeSolver:
                 support = jnp.where(jnp.any(support), support, m)
                 return jnp.max(jnp.where(support, diag(m), 0.0))
 
-            self._fns[key] = (
-                jax.jit(step),
-                jax.jit(matvec),
-                jax.jit(lambda m: dilate_mask(box, m)),
-                jax.jit(dilate_n),
-                jax.jit(lam_max),
-            )
+            if self.mesh is None:
+                self._fns[key] = (
+                    jax.jit(step),
+                    jax.jit(matvec),
+                    jax.jit(lambda m: dilate_mask(box, m)),
+                    jax.jit(dilate_n),
+                    jax.jit(lam_max),
+                )
+            else:
+                row, rep = self._row, self._rep
+                self._fns[key] = (
+                    self._jit_step(step),
+                    jax.jit(
+                        matvec, in_shardings=(row, row), out_shardings=row
+                    ),
+                    jax.jit(
+                        lambda m: dilate_mask(box, m),
+                        in_shardings=(row,),
+                        out_shardings=row,
+                    ),
+                    jax.jit(
+                        dilate_n, in_shardings=(row, rep), out_shardings=row
+                    ),
+                    jax.jit(
+                        lam_max, in_shardings=(row, row), out_shardings=rep
+                    ),
+                )
         return self._fns[key]
 
     def _shrink_if_loose(self, box, mask_np, w_np):
@@ -217,8 +336,8 @@ class BoxCmeSolver:
                 load_checkpoint(resume_from)
             )
             t = t_ck
-            mask = jnp.asarray(mask_np)
-            w = jnp.asarray(w_np, dtype=self._dtype)
+            mask = self._put_row(mask_np)
+            w = self._put_row(w_np, self._dtype)
         else:
             if initial_states is None:
                 raise ValueError("initial_states required unless resuming")
@@ -244,8 +363,8 @@ class BoxCmeSolver:
                 mask_np = np.asarray(dilate(jnp.asarray(mask_np)))
             box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
 
-            mask = jnp.asarray(mask_np)
-            w = jnp.asarray(w_np, dtype=self._dtype)
+            mask = self._put_row(mask_np)
+            w = self._put_row(w_np, self._dtype)
 
             krytol = float(krylov_tol)
             if krytol <= EPS:
@@ -287,6 +406,13 @@ class BoxCmeSolver:
 
             res = step_jit(mask, w, carry, t_out, fsptol_j, krytol_j)
             w, carry = res.w, res.carry
+            if int(carry.iflag) == 2:
+                raise RuntimeError(
+                    f"step rejected more than mxreject="
+                    f"{self.config.mxreject} times (IFLAG=2, "
+                    "KrylovSolver.f90:392-397); requested tolerance likely "
+                    "unattainable"
+                )
             advanced = bool(res.advanced)
             iexpand = bool(res.iexpand)
             dsum = float(res.dsum)
@@ -337,8 +463,8 @@ class BoxCmeSolver:
                     box = new_box
                     (step_jit, matvec_jit, dilate_jit, dilate_n_jit,
                      lam_jit) = self._functions(box)
-                    mask = jnp.asarray(mask_np)
-                    w = jnp.asarray(w_np, dtype=self._dtype)
+                    mask = self._put_row(mask_np)
+                    w = self._put_row(w_np, self._dtype)
                     # one more dilation round inside the grown box
                     mask = dilate_jit(mask)
                 stats.n_expansions += 1
@@ -379,7 +505,7 @@ class BoxCmeSolver:
             budget = min(budget, self._ckpt[1])
         key = ("adv", box.log2, box.axis_of_species, growable, budget)
         if key not in self._fns:
-            self._fns[key] = jax.jit(
+            self._fns[key] = self._jit_advance(
                 make_advance_fn(
                     self.model,
                     box,
@@ -400,22 +526,73 @@ class BoxCmeSolver:
             and box.grow(int(s)).volume <= cfg.max_box_volume
         )
 
+    def _warm_cache_async(self, box: BoxSpace):
+        """Pre-compile the fused advance for every one-axis growth of
+        ``box`` in a daemon thread, overlapping the (remote) XLA compile
+        with on-device stepping.  The compiled executable is discarded —
+        the point is to warm JAX's persistent compilation cache so the
+        foreground recompile after a growth event is a disk load instead
+        of a minutes-long compile (the round-1 latency wall)."""
+        if jax.default_backend() == "cpu" or not self.config.fused_steps:
+            return
+        import threading
+
+        warmed = self._warmed = getattr(self, "_warmed", set())
+
+        def work(candidates):
+            for nb in candidates:
+                key = (nb.log2, nb.axis_of_species)
+                if key in warmed:
+                    continue
+                warmed.add(key)
+                try:
+                    adv = self._advance(nb, self._growable(nb))
+                    avals = (
+                        jax.ShapeDtypeStruct((nb.volume,), self._dtype),
+                        jax.ShapeDtypeStruct((nb.volume,), jnp.bool_),
+                        jax.tree.map(
+                            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype),
+                            _carry_struct(),
+                        ),
+                        jax.ShapeDtypeStruct((), jnp.float64),
+                        jax.ShapeDtypeStruct((), jnp.float64),
+                        jax.ShapeDtypeStruct((), jnp.float64),
+                    )
+                    adv.lower(*avals).compile()
+                except Exception:  # noqa: BLE001 — warming is best-effort
+                    pass
+
+        cands = []
+        for s in self._growable(box):
+            nb = box.grow(int(s))
+            if (nb.log2, nb.axis_of_species) not in warmed:
+                cands.append(nb)
+        if cands:
+            threading.Thread(
+                target=work, args=(cands,), daemon=True
+            ).start()
+
     def _solve_fused(
         self, box, mask, w, carry, t_out, fsptol_j, krytol_j, stats,
         hard_cap, verbosity, wall0,
     ):
         """Fused device main loop; host re-entry on growth/budget only."""
         from .krylov.advance import (
+            EVENT_BUDGET,
             EVENT_DONE,
+            EVENT_FAIL,
             EVENT_GROW,
-            RECORD_FIELDS,
-            make_advance_fn,  # noqa: F401
         )
 
         total_steps = 0
+        last_box = None
         while True:
             growable = self._growable(box)
             adv = self._advance(box, growable)
+            if box is not last_box:
+                # overlap the next geometries' compiles with stepping
+                self._warm_cache_async(box)
+                last_box = box
             st = adv(w, mask, carry, t_out, fsptol_j, krytol_j)
             w, mask, carry = st.w, st.mask, st.carry
             stats.n_drops += int(st.n_drops)
@@ -444,6 +621,13 @@ class BoxCmeSolver:
                 box, mask, w, carry, t_out, fsptol_j, krytol_j
             )
             event = int(st.event)
+            if event == EVENT_FAIL:
+                raise RuntimeError(
+                    f"step rejected more than mxreject="
+                    f"{self.config.mxreject} times (IFLAG=2, "
+                    "KrylovSolver.f90:392-397); requested tolerance likely "
+                    "unattainable"
+                )
             if event == EVENT_DONE:
                 break
             if total_steps > hard_cap:
@@ -462,8 +646,8 @@ class BoxCmeSolver:
                 )
                 if new_box is not box:
                     box = new_box
-                    mask = jnp.asarray(mask_np)
-                    w = jnp.asarray(w_np, dtype=self._dtype)
+                    mask = self._put_row(mask_np)
+                    w = self._put_row(w_np, self._dtype)
                     mask = self._functions(box)[2](mask)
                 else:
                     # face touched but nothing growable: states at the cap
@@ -478,8 +662,8 @@ class BoxCmeSolver:
                 )
                 if new_box is not box:
                     box = new_box
-                    mask = jnp.asarray(mask_np)
-                    w = jnp.asarray(w_np, dtype=self._dtype)
+                    mask = self._put_row(mask_np)
+                    w = self._put_row(w_np, self._dtype)
         return box, mask, w, carry, stats
 
     def _maybe_checkpoint(self, box, mask, w, carry, t_out, fsptol, krytol):
@@ -504,6 +688,7 @@ class BoxCmeSolver:
         stats.nstep = int(carry.nstep)
         stats.nreject = int(carry.nreject)
         stats.ibrkflag = int(carry.ibrkflag)
+        stats.iflag = int(carry.iflag)
         stats.mbrkdwn = int(carry.mbrkdwn)
         stats.tbrkdwn = float(carry.tbrkdwn)
         stats.step_min = float(carry.step_min)
@@ -535,6 +720,11 @@ class BoxCmeSolver:
         )
 
 
+def _carry_struct():
+    """A StepCarry pytree used only for sharding-structure construction."""
+    return initial_carry(1.0, 1.0, 1e-8, 1.0, 10)
+
+
 def solve_cme_box(
     model: Model,
     t: float,
@@ -547,8 +737,9 @@ def solve_cme_box(
     checkpoint_path: str | None = None,
     checkpoint_every: int = 50,
     resume_from: str | None = None,
+    mesh=None,
 ) -> BoxSolveResult:
-    solver = BoxCmeSolver(model, config)
+    solver = BoxCmeSolver(model, config, mesh=mesh)
     return solver.solve(
         t, initial_states, p0, fsp_tol, krylov_tol, verbosity=verbosity,
         checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,

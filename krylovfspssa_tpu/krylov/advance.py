@@ -42,6 +42,9 @@ EVENT_NONE = 0
 EVENT_DONE = 1
 EVENT_GROW = 2
 EVENT_BUDGET = 3
+#: solver failure surfaced from the stepper (carry.iflag != 0, e.g. the
+#: mxreject rejection budget was exhausted — KrylovSolver.f90:392-397)
+EVENT_FAIL = 4
 
 #: per-step record fields in the device ring buffer
 RECORD_FIELDS = (
@@ -195,10 +198,15 @@ def make_advance_fn(
             n_exp = n_exp + do_expand
 
             # ---- events ------------------------------------------------
-            done = carry.t_now >= t_out_abs
-            grow = _touch_flags(box, mask, growable) & ~done
+            failed = carry.iflag != 0
+            done = (carry.t_now >= t_out_abs) & ~failed
+            grow = _touch_flags(box, mask, growable) & ~done & ~failed
             event = jnp.where(
-                done, EVENT_DONE, jnp.where(grow, EVENT_GROW, EVENT_NONE)
+                failed,
+                EVENT_FAIL,
+                jnp.where(
+                    done, EVENT_DONE, jnp.where(grow, EVENT_GROW, EVENT_NONE)
+                ),
             ).astype(jnp.int32)
 
             # ---- record ------------------------------------------------

@@ -92,6 +92,9 @@ class StepCarry(NamedTuple):
     x_error: jnp.ndarray
     hump: jnp.ndarray
     vnorm: jnp.ndarray
+    #: failure code: 0 ok, 2 = too many step rejections when
+    #: config.mxreject > 0 (KrylovSolver.f90:392-397)
+    iflag: jnp.ndarray
 
 
 class StepResult(NamedTuple):
@@ -150,6 +153,7 @@ def initial_carry(beta, t_out, krytol, anorm, m0: int) -> StepCarry:
         x_error=z,
         hump=jnp.asarray(beta, f64),
         vnorm=jnp.asarray(beta, f64),
+        iflag=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -180,6 +184,7 @@ def make_step_fn(
     break_tol = config.break_tol
     anorm = config.anorm
     max_fsp_rejects = config.max_fsp_rejects
+    mxreject = config.mxreject
     MH = m_max + 2
 
     # ideg == 0 selects the Chebyshev partial-fraction expv instead of Padé
@@ -490,7 +495,18 @@ def make_step_fn(
             nscale=jnp.asarray(0, jnp.int32),
             nreject=jnp.asarray(0, jnp.int32),
         )
-        a = jax.lax.while_loop(lambda a: ~a.accept, attempt_body, a0)
+        if mxreject > 0:
+            # bounded rejection loop (KrylovSolver.f90:392-397): exceeding
+            # mxreject rejections within one attempted step aborts with
+            # IFLAG=2 instead of spinning forever on device
+            attempt_cond = lambda a: (~a.accept) & (  # noqa: E731
+                a.ireject + a.imreject <= mxreject
+            )
+        else:
+            attempt_cond = lambda a: ~a.accept  # noqa: E731
+        a = jax.lax.while_loop(attempt_cond, attempt_body, a0)
+        #: rejection-budget exhaustion (only reachable when mxreject > 0)
+        fail = ~a.accept
 
         # grow next step aggressively on tiny error (KrylovSolver.f90:437)
         t_new_acc = jnp.where(
@@ -594,15 +610,16 @@ def make_step_fn(
             )
         )
         fc = jax.lax.while_loop(
-            lambda fc: (~fc.ok) & (~fc.abandon), fsp_body, fc0
+            lambda fc: (~fc.ok) & (~fc.abandon) & (~fail), fsp_body, fc0
         )
 
-        iexpand = (fc.irejectfsp > 0) | fc.abandon
+        iexpand = ((fc.irejectfsp > 0) | fc.abandon) & (~fail)
 
         # --------------------------- post-step bookkeeping (497-550) -----
-        # abandon path (466-470): revert w, do not advance time
-        w_final = jnp.where(fc.abandon, beta.astype(f) * a.V[0], fc.w)
-        advanced = ~fc.abandon
+        # abandon path (466-470): revert w, do not advance time; the
+        # IFLAG=2 failure path likewise returns the step's starting vector
+        w_final = jnp.where(fc.abandon | fail, beta.astype(f) * a.V[0], fc.w)
+        advanced = (~fc.abandon) & (~fail)
         t_now_new = jnp.where(advanced, sc.t_now + fc.t_step, sc.t_now)
         wsum_new = jnp.where(advanced, fc.wsum, sc.wsum_old)
         nstep_new = sc.nstep + jnp.where(advanced, 1, 0)
@@ -654,6 +671,7 @@ def make_step_fn(
             x_error=jnp.maximum(sc.x_error, err_final),
             hump=jnp.maximum(sc.hump, beta_new),
             vnorm=sc.vnorm,
+            iflag=jnp.where(fail, 2, sc.iflag).astype(jnp.int32),
         )
         return StepResult(
             w=w_final,

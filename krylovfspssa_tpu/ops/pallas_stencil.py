@@ -179,7 +179,7 @@ def make_pallas_stencil_matvec(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(
                 (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
             ),
@@ -200,6 +200,269 @@ def make_pallas_stencil_matvec(
         xp = jnp.pad(xm, ((PAD, PAD), (0, 0)))
         m8 = mask.astype(jnp.int8).reshape(rows_tot, LANES)
         y = call(xp, m8)
+        return y.reshape(vol)
+
+    return matvec
+
+
+#: pattern-period cap (rows).  Species whose bit field ends at or below
+#: bit 7 + log2(PCAP) are baked into precomputed periodic lane patterns.
+PCAP = 128
+
+
+def make_pallas_stencil_matvec_v3(
+    model: Model,
+    box: BoxSpace,
+    block_rows: int = 1024,
+    interpret: bool = False,
+):
+    """Third-generation stencil kernel: factor-table rank-1 propensities.
+
+    Exploits the per-species factorization a_k(x) = C_k * prod_s f_{k,s}(x_s)
+    (models/factorize.py — every bundled expression model is separable) to
+    eliminate per-cell propensity evaluation AND per-cell validity
+    arithmetic:
+
+    * the matvec runs in *destination form*
+      ``y[z] = sum_k U_k(z) * x(z - nu_k) - D(z) * x(z)`` where
+      ``U_k(z) = C_k * prod_s u_{k,s}(coord_s(z))`` with the shifted factor
+      tables ``u`` zeroed outside the box (FSP validity baked in,
+      reference ADJ=0 semantics — StateSpace.f90:235);
+    * factors of species whose coordinate bits end at/below bit
+      7 + log2(PCAP) are *precomputed* into periodic (P_k, 128) lane
+      patterns (P_k = the field's row period) — zero per-cell cost; the
+      patterns of reactions with no high-bit factors are pre-summed for
+      the diagonal;
+    * only high-bit species (coordinate a function of the block row alone)
+      are evaluated in-kernel, on (B, 1) row vectors, via the factored
+      sub-AST — shared across reactions through a trace-time cache.
+
+    Returns None when the model is not separable or the geometry does not
+    qualify (caller falls back to the v2 kernel).
+    """
+    from ..models.factorize import (
+        factorize_model,
+        factor_table,
+        shifted_factor_table,
+    )
+    from ..models.expressions import _eval_node
+
+    facts = factorize_model(model)
+    if facts is None:
+        return None
+
+    stoich = np.asarray(box.stoichiometry, dtype=np.int64)
+    R = stoich.shape[0]
+    d = box.n_species
+    vol = box.volume
+    if vol % LANES != 0:
+        return None
+    rows_tot = vol // LANES
+    shifts = [int(sh) for sh in box.shift_of_species]
+    bits = [int(b) for b in box.bits_of_species]
+    exts = [1 << b for b in bits]
+
+    s_off = [-int(o) for o in np.asarray(box.offsets)]
+    q = [so // LANES for so in s_off]
+    r = [so - LANES * qq for so, qq in zip(s_off, q)]
+    qmin = min(q + [0])
+    qmax = max(q + [0])
+
+    B = min(block_rows, rows_tot)
+    while rows_tot % B:
+        B //= 2
+    B = max(B, 8)
+    n_blocks = rows_tot // B
+    qmin_al = (qmin // 8) * 8
+    c0 = -qmin_al
+    WR = _round_up(B + (qmax - qmin_al) + 1, 8)
+    PAD = _round_up(max(-qmin_al, qmax + 1) + 8, 8)
+
+    logp = int(np.log2(PCAP))
+
+    # ---- species placement per reaction --------------------------------
+    def _placement(k):
+        relevant = set(facts[k].factors) | {
+            int(s) for s in np.nonzero(stoich[k])[0]
+        }
+        pat, row = [], []
+        for s in sorted(relevant):
+            if shifts[s] + bits[s] <= 7 + logp:
+                pat.append(s)
+            elif shifts[s] >= 7:
+                row.append(s)
+            else:
+                return None  # straddles the pattern cap: not expressible
+        return pat, row
+
+    placements = [_placement(k) for k in range(R)]
+    if any(p is None for p in placements):
+        return None
+
+    P_k = []
+    for k, (pat, _row) in enumerate(placements):
+        p = 1
+        for s in pat:
+            p = max(p, 1 << max(0, shifts[s] + bits[s] - 7))
+        P_k.append(p)
+    Pmax = max(P_k)
+    if Pmax > B:
+        return None
+
+    # ---- precomputed lane patterns (f64 build, f32 ship) ----------------
+    # cell low bits: z14 = p*128 + lane for pattern row-phase p
+    pgrid = np.arange(Pmax)[:, None] * LANES + np.arange(LANES)[None, :]
+
+    def _pat_coord(s):
+        return (pgrid >> shifts[s]) & (exts[s] - 1)
+
+    patU = np.zeros((R, Pmax, LANES), dtype=np.float64)
+    patD = np.zeros((R, Pmax, LANES), dtype=np.float64)
+    for k, (pat, _row) in enumerate(placements):
+        u = np.full((Pmax, LANES), facts[k].const, dtype=np.float64)
+        t = np.full((Pmax, LANES), facts[k].const, dtype=np.float64)
+        for s in pat:
+            cs = _pat_coord(s)
+            u *= shifted_factor_table(
+                facts[k], s, exts[s], int(stoich[k, s]), model
+            )[cs]
+            if s in facts[k].factors:
+                t *= factor_table(facts[k], s, exts[s], model)[cs]
+        patU[k] = u
+        patD[k] = t
+
+    # reactions with no in-kernel row factors contribute a single
+    # pre-summed diagonal pattern; the rest keep their own slot
+    row_ks = [k for k in range(R) if placements[k][1]]
+    patD_static = patD[[k for k in range(R) if not placements[k][1]]].sum(0)
+    patD_rows = np.stack([patD_static] + [patD[k] for k in row_ks])
+    patU_f32 = jnp.asarray(patU, jnp.float32)
+    patD_f32 = jnp.asarray(patD_rows, jnp.float32)
+
+    params_env = {
+        name: float(v)
+        for name, v in zip(
+            model.parameter_names, np.asarray(model.parameters)
+        )
+    }
+    names = list(model.species_names)
+
+    def kernel(xp_ref, mc_ref, pu_ref, pd_ref, y_ref, win, sem):
+        i = pl.program_id(0).astype(jnp.int32)
+        w0 = i * jnp.int32(B) + jnp.int32(PAD + qmin_al)
+        dma = pltpu.make_async_copy(xp_ref.at[pl.ds(w0, WR), :], win, sem)
+        dma.start()
+
+        # (B, 1) global row ids of the output block
+        rowid = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) + i * jnp.int32(B)
+        )
+
+        # trace-time caches shared across reactions
+        coord_cache: dict = {}
+        fac_cache: dict = {}
+
+        def row_coord(s):
+            if s not in coord_cache:
+                coord_cache[s] = (
+                    rowid >> jnp.int32(shifts[s] - 7)
+                ) & jnp.int32(exts[s] - 1)
+            return coord_cache[s]
+
+        def row_factor(k, s, shifted: bool):
+            """(B,1) f32 factor of species s for reaction k; cache key
+            includes the factor AST identity and the stoich shift."""
+            nu = int(stoich[k, s]) if shifted else 0
+            node = facts[k].factors.get(s)
+            key = (id(node), s, nu)
+            if key in fac_cache:
+                return fac_cache[key]
+            c = row_coord(s)
+            src = c - jnp.int32(nu) if nu else c
+            if node is None:
+                val = jnp.ones((B, 1), jnp.float32)
+            else:
+                env = dict(params_env)
+                env[names[s]] = src.astype(jnp.float32)
+                val = jnp.asarray(_eval_node(node, env), jnp.float32)
+                val = jnp.broadcast_to(val, (B, 1))
+            if nu:
+                ok = (src >= 0) & (src < jnp.int32(exts[s]))
+                val = jnp.where(ok, val, 0.0)
+            fac_cache[key] = val
+            return val
+
+        def tile(pat2d):
+            # (Pmax,128) -> (B,128); block start rows are multiples of B
+            # and Pmax | B, so the phase is always 0
+            return jnp.broadcast_to(
+                pat2d[None], (B // Pmax, Pmax, LANES)
+            ).reshape(B, LANES)
+
+        dma.wait()
+        center = win[c0 : c0 + B, :]
+
+        dacc = tile(pd_ref[0])
+        for j, k in enumerate(row_ks):
+            t = tile(pd_ref[j + 1])
+            for s in placements[k][1]:
+                t = t * row_factor(k, s, shifted=False)
+            dacc = dacc + t
+        acc = -dacc * center
+
+        for k in range(R):
+            base = c0 + q[k]
+            if r[k] == 0:
+                shifted = win[base : base + B, :]
+            else:
+                hi = win[base : base + B, r[k] :]
+                lo = win[base + 1 : base + B + 1, : r[k]]
+                shifted = jnp.concatenate([hi, lo], axis=1)
+            term = tile(pu_ref[k]) * shifted
+            for s in placements[k][1]:
+                term = term * row_factor(k, s, shifted=True)
+            acc = acc + term
+
+        y_ref[:, :] = jnp.where(mc_ref[:, :] != 0, acc, 0.0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (R, Pmax, LANES),
+                lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (len(row_ks) + 1, Pmax, LANES),
+                lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_tot, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((WR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=interpret,
+    )
+
+    def matvec(mask, x):
+        xm = jnp.where(mask, x, 0).astype(jnp.float32).reshape(
+            rows_tot, LANES
+        )
+        xp = jnp.pad(xm, ((PAD, PAD), (0, 0)))
+        m8 = mask.astype(jnp.int8).reshape(rows_tot, LANES)
+        y = call(xp, m8, patU_f32, patD_f32)
         return y.reshape(vol)
 
     return matvec
@@ -373,7 +636,7 @@ def make_pallas_stencil_matvec_v2(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(
                 (B, LANES), lambda i: (i, jnp.int32(0)),
                 memory_space=pltpu.VMEM,

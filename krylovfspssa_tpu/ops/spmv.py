@@ -4,9 +4,9 @@ The reference matvec is a serial scatter loop
 (``/root/reference/src/fsp/KrylovSolver.f90:577-607``); here it is a single
 batched gather + row reduction, which XLA fuses into one HBM-bandwidth-bound
 kernel on TPU: stream ``pred_idx``/``pred_prop``/``diag`` once, gather x.
-A hand-tuned Pallas kernel (x resident in VMEM, index/value blocks streamed
-with double buffering) lives in ``pallas_spmv.py``; this module is the
-portable XLA path and the numerical ground truth.
+This is the portable XLA path and the numerical ground truth; the TPU-tuned
+hot path is the masked-box *stencil* backend (ops/stencil.py +
+ops/pallas_stencil.py), which needs no stored matrix at all.
 """
 
 from __future__ import annotations

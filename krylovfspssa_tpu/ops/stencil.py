@@ -83,16 +83,99 @@ def _dest_valid(box: BoxSpace, flat: jnp.ndarray, k: int) -> jnp.ndarray:
     return ok
 
 
+def _axis_field(box: BoxSpace, tabs_by_species: dict, const: float, dtype):
+    """Broadcast outer product of per-species 1-D tables over the box,
+    flattened to (vol,).  XLA fuses the broadcasts into the consumer, so
+    the field costs ~len(tabs) multiplies per cell instead of a full
+    expression evaluation."""
+    shape = box.shape
+    nd = len(shape)
+    arr = None
+    for s, tab in tabs_by_species.items():
+        ax = box.axis_of_species[s]
+        t = jnp.asarray(tab, dtype).reshape(
+            (1,) * ax + (shape[ax],) + (1,) * (nd - ax - 1)
+        )
+        arr = t if arr is None else arr * t
+    c = jnp.asarray(const, dtype)
+    if arr is None:
+        return jnp.full((box.volume,), c, dtype)
+    return jnp.broadcast_to(c * arr, shape).reshape(box.volume)
+
+
+def _factored_reaction_tables(model: Model, box: BoxSpace):
+    """Per-reaction (const, u_tabs, t_tabs) from the propensity
+    factorization, or None.  ``u_tabs[s]`` is the *shifted* source-factor
+    table with FSP validity baked in (zero where the source coordinate
+    leaves the box); ``t_tabs[s]`` the plain factor table (for the
+    diagonal).  Only species that are referenced or moved by the reaction
+    appear."""
+    from ..models.factorize import (
+        factor_table,
+        factorize_model,
+        shifted_factor_table,
+    )
+
+    facts = factorize_model(model)
+    if facts is None:
+        return None
+    stoich = np.asarray(box.stoichiometry)
+    exts = np.asarray(box.extents)
+    out = []
+    for k, fz in enumerate(facts):
+        relevant = set(fz.factors) | {
+            int(s) for s in np.nonzero(stoich[k])[0]
+        }
+        u_tabs = {
+            s: shifted_factor_table(
+                fz, s, int(exts[s]), int(stoich[k, s]), model
+            )
+            for s in relevant
+        }
+        t_tabs = {
+            s: factor_table(fz, s, int(exts[s]), model) for s in fz.factors
+        }
+        out.append((fz.const, u_tabs, t_tabs))
+    return out
+
+
 def make_stencil_matvec(model: Model, box: BoxSpace, dtype=jnp.float64):
     """Build matvec(mask, x) -> y for the current box geometry.
 
     The returned function is jit-traceable; `mask` is the FSP membership
     mask (bool, flat) and x a flat vector supported on it.
+
+    For separable propensities (models/factorize.py) the matvec runs in
+    *destination form*: y[z] = sum_k U_k[z] * x[z - nu_k] - D[z] * x[z]
+    with U_k the shifted-factor outer-product field (validity baked in) —
+    one multiply-add per reaction per cell, no expression re-evaluation
+    and no per-cell bounds arithmetic.  Non-separable models fall back to
+    direct evaluation (reference FMATVEC semantics either way,
+    KrylovSolver.f90:577-607).
     """
-    evaluate = make_propensity_evaluator(model, box, dtype)
     offsets = [int(o) for o in box.offsets]
     R = model.n_reactions
     vol = box.volume
+
+    tables = _factored_reaction_tables(model, box)
+    if tables is not None:
+
+        def matvec(mask, x):
+            xm = jnp.where(mask, x, 0)
+            diag = sum(
+                _axis_field(box, t_tabs, const, dtype)
+                for const, _, t_tabs in tables
+            )
+            y = -diag * xm
+            for k, (const, u_tabs, _) in enumerate(tables):
+                y = y + _axis_field(box, u_tabs, const, dtype) * jnp.roll(
+                    xm, offsets[k]
+                )
+            return jnp.where(mask, y, 0)
+
+        return matvec
+
+    evaluate = make_propensity_evaluator(model, box, dtype)
 
     def matvec(mask, x):
         flat = jax.lax.broadcasted_iota(jnp.int64, (vol, 1), 0)[:, 0]
@@ -116,11 +199,15 @@ def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype):
     if use != "never" and dtype == jnp.float32:
         from .pallas_stencil import (
             make_pallas_stencil_matvec_v2,
+            make_pallas_stencil_matvec_v3,
             pallas_applicable,
         )
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use == "always" or (on_tpu and pallas_applicable(box)):
+            mv = make_pallas_stencil_matvec_v3(model, box)
+            if mv is not None:
+                return mv
             return make_pallas_stencil_matvec_v2(model, box)
     return make_stencil_matvec(model, box, dtype)
 
@@ -130,9 +217,22 @@ def make_diag_fn(model: Model, box: BoxSpace, dtype=jnp.float64):
     (0 elsewhere) — the reference's DIAG column (StateSpace.f90:211-212),
     used here to event-scale FSP expansion (diag * t = expected number of
     reaction firings at that state over horizon t)."""
-    evaluate = make_propensity_evaluator(model, box, dtype)
     R = model.n_reactions
     vol = box.volume
+
+    tables = _factored_reaction_tables(model, box)
+    if tables is not None:
+
+        def diag(mask):
+            d = sum(
+                _axis_field(box, t_tabs, const, dtype)
+                for const, _, t_tabs in tables
+            )
+            return jnp.where(mask, d, 0)
+
+        return diag
+
+    evaluate = make_propensity_evaluator(model, box, dtype)
 
     def diag(mask):
         flat = jax.lax.broadcasted_iota(jnp.int64, (vol, 1), 0)[:, 0]

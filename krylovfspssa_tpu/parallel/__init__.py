@@ -2,8 +2,10 @@
 
 The state dimension n (probability-vector length) is the single parallel
 axis of the Krylov-FSP-SSA math; ``sharded.py`` row-partitions the
-probability vector, Krylov basis, and operator over a 1-D device mesh with
-``shard_map`` (+ psum reductions, all-gather for off-shard SpMV reads).
+probability vector, Krylov basis, and operator over a 1-D device mesh via
+``jit`` + ``NamedSharding`` annotations (GSPMD inserts the psum reductions
+and the boundary collective-permutes / all-gathers for off-shard SpMV
+reads).
 """
 
 __all__ = [

@@ -196,6 +196,12 @@ class CmeSolver:
 
             res = self._step(op, w, carry, t_out, fsptol_j, krytol_j)
             w, carry = res.w, res.carry
+            if int(carry.iflag) == 2:
+                raise RuntimeError(
+                    f"step rejected more than mxreject={cfg.mxreject} times "
+                    "(IFLAG=2, KrylovSolver.f90:392-397); requested "
+                    "tolerance likely unattainable"
+                )
             advanced = bool(res.advanced)
             iexpand = bool(res.iexpand)
             dsum = float(res.dsum)
@@ -273,6 +279,7 @@ class CmeSolver:
         stats.nstep = int(carry.nstep)
         stats.nreject = int(carry.nreject)
         stats.ibrkflag = int(carry.ibrkflag)
+        stats.iflag = int(carry.iflag)
         stats.mbrkdwn = int(carry.mbrkdwn)
         stats.tbrkdwn = float(carry.tbrkdwn)
         stats.step_min = float(carry.step_min)

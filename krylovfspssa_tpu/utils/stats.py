@@ -54,6 +54,8 @@ class SolverStats:
     nreject: int = 0
     ibrkflag: int = 0
     mbrkdwn: int = 0
+    #: failure code (reference IFLAG): 0 ok, 2 = rejection budget exhausted
+    iflag: int = 0
     step_min: float = 0.0
     step_max: float = 0.0
     x_error: float = 0.0

@@ -198,3 +198,60 @@ def test_box_solver_grows_box():
     # RNA reaches ~10+ molecules; the box must have grown beyond 4
     assert res.box.extents[1] >= 16
     assert res.wsum >= 1.0 - 1e-5
+
+
+def test_mxreject_iflag2():
+    """mxreject > 0 bounds the per-step rejection loop: a carry whose step
+    size is absurdly large forces > mxreject rejections (each rejection
+    shrinks tau by at most 5x) and the step must surface IFLAG=2
+    (KrylovSolver.f90:392-397) instead of spinning until it recovers."""
+    import jax
+
+    from krylovfspssa_tpu.krylov.stepper import initial_carry, make_step_fn
+    from krylovfspssa_tpu.ops.stencil import make_stencil_matvec
+
+    model = toggle_file_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[0, 0]], min_log2=4)
+    mask = jnp.zeros(box.volume, dtype=bool).at[
+        int(np.asarray(box.flat_index(np.array([[0, 0]])))[0])
+    ].set(True)
+    for _ in range(8):
+        mask = dilate_mask(box, mask)
+    w = jnp.zeros(box.volume, dtype=jnp.float64).at[
+        int(np.asarray(box.flat_index(np.array([[0, 0]])))[0])
+    ].set(1.0)
+
+    def make(cfg):
+        matvec = make_stencil_matvec(model, box, jnp.float64)
+        return jax.jit(
+            make_step_fn(
+                lambda m: (lambda x: matvec(m, x)),
+                cfg,
+                op_info=lambda m: (
+                    jnp.sum(m).astype(jnp.int32),
+                    model.n_reactions,
+                ),
+            )
+        )
+
+    t_out = 1.0e6
+    carry = initial_carry(1.0, t_out, 1e-10, 1.0, 10)
+    carry = carry._replace(t_new=jnp.asarray(1.0e3, jnp.float64))
+    args = (
+        mask, w, carry, jnp.asarray(t_out), jnp.asarray(1e-4),
+        jnp.asarray(1e-10),
+    )
+
+    res = make(SolverConfig(mxreject=3))(*args)
+    assert int(res.carry.iflag) == 2
+    assert not bool(res.advanced)
+    assert not bool(res.iexpand)
+    # w must be returned unchanged (the step's starting vector)
+    np.testing.assert_allclose(
+        np.asarray(res.w), np.asarray(w), rtol=0, atol=1e-15
+    )
+
+    # unlimited rejections (the reference default) eventually accept
+    res0 = make(SolverConfig(mxreject=0))(*args)
+    assert int(res0.carry.iflag) == 0
+    assert bool(res0.advanced)

@@ -144,3 +144,43 @@ def test_sharded_box_step_matches_single():
     assert float(res2.wsum) == pytest.approx(float(res1.wsum), rel=1e-12)
     shard_devs = {s.device for s in res2.w.addressable_shards}
     assert len(shard_devs) == 8
+
+
+def test_box_full_solve_shard_invariance_fused():
+    """THE multi-chip bar (SURVEY §5(d), VERDICT r1 item 1): a complete
+    end-to-end box solve — fused adaptive main loop, drop, dilation
+    expansion, box growth — runs with the cell axis row-partitioned over
+    8 devices and reproduces the single-device solve.  Final probabilities
+    agree to reduction-reordering noise (partial sums + psum), orders of
+    magnitude below every solver tolerance; the adaptive trajectory
+    (steps, box geometry) is identical."""
+    from krylovfspssa_tpu.boxsolver import solve_cme_box
+
+    model = bursting_gene_model()
+    kw = dict(fsp_tol=1e-4, krylov_tol=1e-8)
+    r1 = solve_cme_box(model, 20.0, [[0, 0]], **kw)
+    r8 = solve_cme_box(model, 20.0, [[0, 0]], mesh=make_mesh(8), **kw)
+    assert r8.box.shape == r1.box.shape
+    assert r8.stats.nstep == r1.stats.nstep
+    assert r8.stats.n_expansions == r1.stats.n_expansions
+    np.testing.assert_allclose(r8.w_flat, r1.w_flat, rtol=0, atol=1e-9)
+    assert abs(r8.wsum - r1.wsum) < 1e-10
+    assert r8.wsum >= 1.0 - 1e-4
+
+
+def test_box_full_solve_shard_invariance_stepwise():
+    """Same bar for the non-fused (one device call per attempted step)
+    orchestration path."""
+    from krylovfspssa_tpu.boxsolver import solve_cme_box
+
+    model = toggle_file_model()
+    cfg = SolverConfig(fused_steps=False)
+    kw = dict(fsp_tol=1e-4, krylov_tol=1e-8, config=cfg)
+    r1 = solve_cme_box(model, 5.0, [[0, 0]], **kw)
+    r8 = solve_cme_box(model, 5.0, [[0, 0]], mesh=make_mesh(8), **kw)
+    assert r8.box.shape == r1.box.shape
+    assert r8.stats.nstep == r1.stats.nstep
+    # reduction-reorder drift compounds over the longer toggle trajectory;
+    # 1e-7 is still three orders below fsp_tol
+    np.testing.assert_allclose(r8.w_flat, r1.w_flat, rtol=0, atol=1e-7)
+    assert r8.wsum >= 1.0 - 1e-4

@@ -79,3 +79,45 @@ def test_pallas_applicability_gate():
     model = toggle_file_model()
     small = BoxSpace.for_model(model.stoichiometry, [[0, 0]])
     assert not pallas_applicable(small)  # volume < 128 rows
+
+
+@pytest.mark.parametrize(
+    "mk,x0,target",
+    [
+        (toggle_file_model, [[0, 0]], 64),
+        (goutsias_model, [[2, 6, 0, 2, 0, 0]], 8),
+    ],
+)
+def test_pallas_v3_matches_xla_stencil(mk, x0, target):
+    """Factor-table kernel vs the XLA stencil (same contract as v1/v2).
+    Covers lane-pattern species, straddling species, and in-kernel row
+    factors (the goutsias box at extent 8 has all three placements)."""
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_stencil_matvec_v3,
+    )
+
+    model = mk()
+    box = _grown_box(model, x0, target)
+    rng = np.random.default_rng(11)
+    mask = jnp.asarray(rng.random(box.volume) < 0.6)
+    x = jnp.asarray(rng.random(box.volume), jnp.float32)
+    ref = make_stencil_matvec(model, box, jnp.float32)(mask, x)
+    mv = make_pallas_stencil_matvec_v3(
+        model, box, block_rows=64, interpret=True
+    )
+    assert mv is not None, "v3 should apply to separable bundled models"
+    got = mv(mask, x)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6 * scale
+    )
+
+
+def test_pallas_v3_custom_propensity_falls_back():
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_stencil_matvec_v3,
+    )
+
+    model = toggle_programmatic_model()
+    box = _grown_box(model, [[0, 0]], 64)
+    assert make_pallas_stencil_matvec_v3(model, box) is None
