@@ -110,17 +110,21 @@ def main():
         try:
             from krylovfspssa_tpu.ops.pallas_stencil import (
                 make_pallas_stencil_matvec_v2,
+                make_pallas_stencil_matvec_v3,
                 pallas_applicable,
             )
 
             if platform not in ("cpu", "gpu") and pallas_applicable(box):
                 variants.append(
                     (
-                        "pallas-f32",
+                        "pallas-v2-f32",
                         jnp.float32,
                         make_pallas_stencil_matvec_v2(model, box),
                     )
                 )
+                mv3 = make_pallas_stencil_matvec_v3(model, box)
+                if mv3 is not None:
+                    variants.append(("pallas-v3-f32", jnp.float32, mv3))
         except Exception as e:  # noqa: BLE001
             log(f"pallas variant unavailable: {e}")
 

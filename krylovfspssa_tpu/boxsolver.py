@@ -31,6 +31,7 @@ from .config import SolverConfig
 from .krylov.stepper import EPS, initial_carry, make_step_fn
 from .models.model import Model
 from .ops.stencil import active_touches_face, dilate_mask
+from .parallel.multihost import host_gather
 from .statespace.drop import drop_mask_device
 from .utils.stats import SolverStats, StepRecord
 
@@ -115,7 +116,9 @@ class BoxCmeSolver:
         if self.config.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self._dtype = (
-            jnp.float64 if self.config.dtype == "float64" else jnp.float32
+            jnp.float64
+            if self.config.resolved_dtype() == "float64"
+            else jnp.float32
         )
         self._fns: dict = {}
 
@@ -195,7 +198,7 @@ class BoxCmeSolver:
             from .ops.stencil import make_diag_fn, select_stencil_matvec
 
             matvec = select_stencil_matvec(
-                self.model, box, self.config, self._dtype
+                self.model, box, self.config, self._dtype, mesh=self.mesh
             )
             diag = make_diag_fn(self.model, box, jnp.float64)
             R = self.model.n_reactions
@@ -454,8 +457,8 @@ class BoxCmeSolver:
                     cfg.box_expand_rounds_max,
                 )
                 mask = dilate_n_jit(mask, k)
-                mask_np = np.asarray(mask)
-                w_np = np.asarray(w, dtype=np.float64)
+                mask_np = host_gather(mask)
+                w_np = host_gather(w).astype(np.float64)
                 new_box, mask_np, w_np = self._grow_until_fits(
                     box, mask_np, w_np
                 )
@@ -513,6 +516,7 @@ class BoxCmeSolver:
                     growable,
                     budget,
                     self._dtype,
+                    mesh=self.mesh,
                 )
             )
         return self._fns[key]
@@ -635,8 +639,8 @@ class BoxCmeSolver:
                     f"exceeded {hard_cap} attempted steps (IFLAG=1 analog)"
                 )
             if event == EVENT_GROW:
-                mask_np = np.asarray(mask)
-                w_np = np.asarray(w, dtype=np.float64)
+                mask_np = host_gather(mask)
+                w_np = host_gather(w).astype(np.float64)
                 new_box, mask_np, w_np = self._grow_until_fits(
                     box, mask_np, w_np
                 )
@@ -655,8 +659,8 @@ class BoxCmeSolver:
                     # continue without growth
                     pass
             elif event == EVENT_BUDGET:
-                mask_np = np.asarray(mask)
-                w_np = np.asarray(w, dtype=np.float64)
+                mask_np = host_gather(mask)
+                w_np = host_gather(w).astype(np.float64)
                 new_box, mask_np, w_np = self._shrink_if_loose(
                     box, mask_np, w_np
                 )
@@ -700,8 +704,8 @@ class BoxCmeSolver:
         stats.final_norm_ratio = float(carry.beta / carry.vnorm)
         stats.wall_s = time.perf_counter() - wall0
 
-        mask_np = np.asarray(mask)
-        w_np = np.asarray(w, dtype=np.float64)
+        mask_np = host_gather(mask)
+        w_np = host_gather(w).astype(np.float64)
         active = np.nonzero(mask_np)[0]
         states = np.asarray(
             jnp.stack(

@@ -86,3 +86,64 @@ def load_checkpoint(path: str | Path):
             float(z["fsp_tol"]),
             float(z["krylov_tol"]),
         )
+
+
+# ------------------------------------------------------- table backend ----
+
+
+def save_table_checkpoint(
+    path: str | Path,
+    states: np.ndarray,
+    w: np.ndarray,
+    carry: StepCarry,
+    t_out: float,
+    fsp_tol: float,
+    krylov_tol: float,
+    rng_state: np.ndarray,
+) -> None:
+    """Snapshot of a table-backend solve: the active state list, the
+    probability vector over it, the adaptive carry, and the SSA RNG key
+    (so resumed expansion walks continue the same stream)."""
+    path = Path(path)
+    fields = {f"carry_{k}": np.asarray(v) for k, v in carry._asdict().items()}
+    tmp = path.with_suffix(path.suffix + ".tmp")
+    with open(tmp, "wb") as fh:
+        np.savez_compressed(
+            fh,
+            version=FORMAT_VERSION,
+            backend="table",
+            states=np.asarray(states, np.int32),
+            w=np.asarray(w, np.float64),
+            t_out=float(t_out),
+            fsp_tol=float(fsp_tol),
+            krylov_tol=float(krylov_tol),
+            rng_state=np.asarray(rng_state),
+            **fields,
+        )
+    tmp.replace(path)
+
+
+def load_table_checkpoint(path: str | Path):
+    """Returns (states, w, carry, t_out, fsp_tol, krylov_tol, rng_state)."""
+    import jax.numpy as jnp
+
+    with np.load(Path(path)) as z:
+        version = int(z["version"])
+        if version != FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint format {version} != expected {FORMAT_VERSION}"
+            )
+        if str(z.get("backend", "table")) != "table":
+            raise ValueError("not a table-backend checkpoint")
+        carry = StepCarry(
+            **{k: jnp.asarray(z[f"carry_{k}"]) for k in StepCarry._fields}
+        )
+        return (
+            z["states"],
+            z["w"],
+            carry,
+            float(z["t_out"]),
+            float(z["fsp_tol"]),
+            float(z["krylov_tol"]),
+            z["rng_state"],
+        )

@@ -216,7 +216,7 @@ def main(argv=None) -> int:
     ps.add_argument("--params", type=float, nargs="+",
                     help="override model parameters")
     ps.add_argument("--backend", choices=("box", "table"), default="box")
-    ps.add_argument("--dtype", choices=("float64", "float32"))
+    ps.add_argument("--dtype", choices=("auto", "float64", "float32"))
     ps.add_argument("--no-fused", action="store_true",
                     help="disable the fused device main loop")
     ps.add_argument("-v", "--verbose", action="count", default=0)

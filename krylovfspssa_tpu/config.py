@@ -77,6 +77,10 @@ class SolverConfig:
     #: kernel (ops/pallas_stencil.py) when dtype is float32, the backend is
     #: a TPU, and the box geometry qualifies; "never"/"always" force it off/on
     use_pallas: str = "auto"
+    #: use the explicit ppermute halo-exchange SpMV (ops/halo.py) for
+    #: mesh-sharded solves when the model/geometry qualify; False falls
+    #: back to GSPMD's generic partitioning of the stencil
+    use_halo: bool = True
     #: minimum rounds of mask dilation per expansion event in the box
     #: backend (the SSA+1-step analog; each round activates the 1-step
     #: reachable shell)
@@ -109,9 +113,23 @@ class SolverConfig:
     seed: int = 0
 
     # ---- numerics -------------------------------------------------------
-    #: probability vector / Krylov basis dtype ("float64" or "float32");
-    #: the FSP criterion and reductions always run in float64.
-    dtype: str = "float64"
+    #: probability vector / Krylov basis dtype: "float64", "float32", or
+    #: "auto" (the default) — float32 on accelerator backends (where it
+    #: enables the hand-tiled Pallas stencil kernel and native-rate VPU
+    #: math; f64 is emulated and ~5x slower), float64 on CPU.  The FSP
+    #: mass criterion, the small-Hessenberg exponential, and all norm /
+    #: sum reductions run in float64 in EVERY mode, so the acceptance
+    #: logic matches the reference bit-for-bit; validated by the
+    #: f32-vs-f64 agreement tests (tests/test_box.py).
+    dtype: str = "auto"
+
+    def resolved_dtype(self) -> str:
+        """Concrete dtype for this process' default backend."""
+        if self.dtype != "auto":
+            return self.dtype
+        import jax
+
+        return "float64" if jax.default_backend() == "cpu" else "float32"
 
     # ---- observability --------------------------------------------------
     #: 0 = silent, 1 = per-step stats (reference ITRACE/PRINT_STATS)

@@ -97,12 +97,15 @@ def make_advance_fn(
     growable: tuple[int, ...],
     max_steps: int,
     dtype=jnp.float64,
+    mesh=None,
 ):
     """Build advance(w, mask, carry, t_out, fsptol, krytol) -> AdvanceState.
 
     Static in box geometry / growable axes / max_steps; jit once per box.
+    With ``mesh`` the SpMV uses the explicit halo-exchange shard_map path
+    when the model/geometry qualify.
     """
-    matvec = select_stencil_matvec(model, box, config, dtype)
+    matvec = select_stencil_matvec(model, box, config, dtype, mesh=mesh)
     R = model.n_reactions
     step = make_step_fn(
         lambda mask: (lambda x: matvec(mask, x)),

@@ -41,7 +41,7 @@ import dataclasses
 
 import numpy as np
 
-from .expressions import BinOp, Neg, Node, Num, Var, free_variables
+from .expressions import BinOp, Neg, Node, Num, free_variables
 
 
 @dataclasses.dataclass(frozen=True)

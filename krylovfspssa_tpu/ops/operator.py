@@ -24,8 +24,8 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
-import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..statespace.encoding import StateEncoder
 
@@ -60,13 +60,48 @@ def lookup_keys(sorted_keys, sorted_to_row, queries):
 
     ``sorted_keys`` is padded with INT64_MAX so searchsorted stays in-range;
     this replaces the reference's Brent hash probes (HashTable.f90:61-236)
-    with one vectorized binary search.
+    with one vectorized binary search.  Multi-word keys (shape (..., W),
+    wide models — encoding.py) use an explicit lexicographic binary search.
     """
+    if sorted_keys.ndim == 2:
+        return _lookup_keys_wide(sorted_keys, sorted_to_row, queries)
     cap = sorted_keys.shape[0]
     pos = jnp.searchsorted(sorted_keys, queries)
     pos = jnp.clip(pos, 0, cap - 1)
     hit = (sorted_keys[pos] == queries) & (queries >= 0)
     return jnp.where(hit, sorted_to_row[pos], -1).astype(jnp.int32)
+
+
+def _lex_less(a, b):
+    """Lexicographic a < b over the trailing word axis (word 0 major)."""
+    W = a.shape[-1]
+    lt = jnp.zeros(a.shape[:-1], dtype=bool)
+    eq = jnp.ones(a.shape[:-1], dtype=bool)
+    for w in range(W):
+        lt = lt | (eq & (a[..., w] < b[..., w]))
+        eq = eq & (a[..., w] == b[..., w])
+    return lt
+
+
+def _lookup_keys_wide(sorted_keys, sorted_to_row, queries):
+    """Vectorized lexicographic binary search over (cap, W) sorted keys
+    (padded rows = all INT64_MAX).  ~log2(cap) gather rounds."""
+    cap, W = sorted_keys.shape
+    q = queries.reshape(-1, W)
+    m = q.shape[0]
+    lo = jnp.zeros((m,), jnp.int32)
+    hi = jnp.full((m,), cap, jnp.int32)
+    steps = int(np.ceil(np.log2(max(cap, 2)))) + 1
+    for _ in range(steps):
+        mid = (lo + hi) // 2
+        a = sorted_keys[jnp.clip(mid, 0, cap - 1)]
+        less = _lex_less(a, q)
+        lo = jnp.where(less, jnp.minimum(mid + 1, hi), lo)
+        hi = jnp.where(less, hi, mid)
+    pos = jnp.clip(lo, 0, cap - 1)
+    hit = jnp.all(sorted_keys[pos] == q, axis=-1) & (q[:, 0] >= 0)
+    out = jnp.where(hit, sorted_to_row[pos], -1).astype(jnp.int32)
+    return out.reshape(queries.shape[:-1])
 
 
 def build_operator(
@@ -102,17 +137,19 @@ def build_operator(
 
     # successors: x + nu_k  (reference ADJ columns)
     succ = states[:, None, :].astype(jnp.int32) + stoich[None, :, :]
-    succ_keys = encoder.encode(succ.reshape(cap * R, d)).reshape(cap, R)
-    succ_legal = (succ_keys >= 0) & active[:, None]
-    succ_idx = lookup_keys(sorted_keys, sorted_to_row, succ_keys.reshape(-1))
+    succ_keys = encoder.encode(succ.reshape(cap * R, d))
+    succ_legal = encoder.keys_valid(succ_keys).reshape(cap, R) & active[
+        :, None
+    ]
+    succ_idx = lookup_keys(sorted_keys, sorted_to_row, succ_keys)
     succ_idx = succ_idx.reshape(cap, R)
     succ_idx = jnp.where(active[:, None], succ_idx, -1)
 
     # predecessors: x - nu_k (incoming edges; reference patches these rows
     # one at a time in ADD_STATE StateSpace.f90:240-244 — we recompute all)
     pred = states[:, None, :].astype(jnp.int32) - stoich[None, :, :]
-    pred_keys = encoder.encode(pred.reshape(cap * R, d)).reshape(cap, R)
-    pred_idx = lookup_keys(sorted_keys, sorted_to_row, pred_keys.reshape(-1))
+    pred_keys = encoder.encode(pred.reshape(cap * R, d))
+    pred_idx = lookup_keys(sorted_keys, sorted_to_row, pred_keys)
     pred_idx = pred_idx.reshape(cap, R)
     pred_idx = jnp.where(active[:, None], pred_idx, -1)
 

@@ -23,8 +23,6 @@ summed over all reactions and out-of-box targets dropped (FSP truncation).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -85,9 +85,9 @@ def _dest_valid(box: BoxSpace, flat: jnp.ndarray, k: int) -> jnp.ndarray:
 
 def _axis_field(box: BoxSpace, tabs_by_species: dict, const: float, dtype):
     """Broadcast outer product of per-species 1-D tables over the box,
-    flattened to (vol,).  XLA fuses the broadcasts into the consumer, so
-    the field costs ~len(tabs) multiplies per cell instead of a full
-    expression evaluation."""
+    flattened to (vol,).  Only used for boxes too small for the lane-
+    pattern form (its N-D temps tile poorly on TPU when minor axis
+    extents are < 128)."""
     shape = box.shape
     nd = len(shape)
     arr = None
@@ -101,6 +101,82 @@ def _axis_field(box: BoxSpace, tabs_by_species: dict, const: float, dtype):
     if arr is None:
         return jnp.full((box.volume,), c, dtype)
     return jnp.broadcast_to(c * arr, shape).reshape(box.volume)
+
+
+_FIELD_LANES = 128
+#: largest lane-pattern row period materialized as a constant
+_FIELD_PCAP = 2048
+
+
+def _lane_field(box: BoxSpace, tabs_by_species: dict, const: float, dtype):
+    """Rank-1 propensity field in TPU-native (rows, 128) layout.
+
+    The flat cell index splits as row*128 + lane.  Species whose bit
+    field ends at/below bit 7 + log2(P) contribute a periodic (P, 128)
+    *lane pattern* (a precomputed numpy constant, tiled down the rows);
+    species entirely above bit 7 contribute a per-row factor via a tiny
+    1-D table gather of length vol/128.  Every op is 2-D with a 128-lane
+    minor axis — the layout both TPU tiling and CPU vectorization want —
+    unlike the naive N-D broadcast product whose minor axes (often extent
+    4) pad 32x on TPU.
+    """
+    vol = box.volume
+    if vol % _FIELD_LANES != 0:
+        return _axis_field(box, tabs_by_species, const, dtype)
+    rows = vol // _FIELD_LANES
+
+    pat_species, row_species = [], []
+    for s in tabs_by_species:
+        sh = int(box.shift_of_species[s])
+        b = int(box.bits_of_species[s])
+        if sh >= 7:
+            row_species.append(s)
+        elif (1 << max(0, sh + b - 7)) <= min(rows, _FIELD_PCAP):
+            pat_species.append(s)
+        else:
+            return _axis_field(box, tabs_by_species, const, dtype)
+
+    P = 1
+    for s in pat_species:
+        sh = int(box.shift_of_species[s])
+        b = int(box.bits_of_species[s])
+        P = max(P, 1 << max(0, sh + b - 7))
+    P = min(P, rows)
+
+    pgrid = (
+        np.arange(P)[:, None] * _FIELD_LANES + np.arange(_FIELD_LANES)[None, :]
+    )
+    pat = np.full((P, _FIELD_LANES), const, dtype=np.float64)
+    for s in pat_species:
+        sh = int(box.shift_of_species[s])
+        b = int(box.bits_of_species[s])
+        pat *= np.asarray(tabs_by_species[s])[(pgrid >> sh) & ((1 << b) - 1)]
+    pat_j = jnp.asarray(pat, dtype)
+
+    field2d = jnp.broadcast_to(
+        pat_j[None], (rows // P, P, _FIELD_LANES)
+    ).reshape(rows, _FIELD_LANES)
+    if row_species:
+        rowfac = None
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (rows, 1), 0)[:, 0]
+        for s in row_species:
+            sh = int(box.shift_of_species[s])
+            b = int(box.bits_of_species[s])
+            t = jnp.asarray(tabs_by_species[s], dtype)
+            f = t[(ridx >> (sh - 7)) & ((1 << b) - 1)]
+            rowfac = f if rowfac is None else rowfac * f
+        field2d = field2d * rowfac[:, None]
+    return field2d.reshape(vol)
+
+
+def _field(box: BoxSpace, tabs_by_species: dict, const: float, dtype):
+    """Backend-tuned rank-1 field: the (rows, 128) lane-pattern form on
+    accelerators (N-D broadcasts pad catastrophically in TPU tiling), the
+    N-D broadcast outer product on CPU (measured faster there; no tiling,
+    and gathers are the slow op instead)."""
+    if jax.default_backend() == "cpu":
+        return _axis_field(box, tabs_by_species, const, dtype)
+    return _lane_field(box, tabs_by_species, const, dtype)
 
 
 def _factored_reaction_tables(model: Model, box: BoxSpace):
@@ -163,12 +239,12 @@ def make_stencil_matvec(model: Model, box: BoxSpace, dtype=jnp.float64):
         def matvec(mask, x):
             xm = jnp.where(mask, x, 0)
             diag = sum(
-                _axis_field(box, t_tabs, const, dtype)
+                _field(box, t_tabs, const, dtype)
                 for const, _, t_tabs in tables
             )
             y = -diag * xm
             for k, (const, u_tabs, _) in enumerate(tables):
-                y = y + _axis_field(box, u_tabs, const, dtype) * jnp.roll(
+                y = y + _field(box, u_tabs, const, dtype) * jnp.roll(
                     xm, offsets[k]
                 )
             return jnp.where(mask, y, 0)
@@ -191,10 +267,19 @@ def make_stencil_matvec(model: Model, box: BoxSpace, dtype=jnp.float64):
     return matvec
 
 
-def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype):
+def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype,
+                          mesh=None):
     """Pick the SpMV implementation per config.use_pallas ("auto" takes the
     hand-tiled Pallas kernel for float32 on TPU backends when the box
-    geometry qualifies; the XLA stencil otherwise)."""
+    geometry qualifies; the XLA stencil otherwise).  With ``mesh`` set,
+    prefer the explicit ppermute halo-exchange shard_map path (ops/halo.py)
+    when the model/geometry qualify."""
+    if mesh is not None and getattr(config, "use_halo", True):
+        from .halo import make_halo_stencil_matvec
+
+        mv = make_halo_stencil_matvec(model, box, mesh, dtype)
+        if mv is not None:
+            return mv
     use = getattr(config, "use_pallas", "auto")
     if use != "never" and dtype == jnp.float32:
         from .pallas_stencil import (
@@ -225,7 +310,7 @@ def make_diag_fn(model: Model, box: BoxSpace, dtype=jnp.float64):
 
         def diag(mask):
             d = sum(
-                _axis_field(box, t_tabs, const, dtype)
+                _field(box, t_tabs, const, dtype)
                 for const, _, t_tabs in tables
             )
             return jnp.where(mask, d, 0)

@@ -22,8 +22,6 @@ optimization once profiles justify it.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -116,7 +114,9 @@ def sharded_box_step_fn(mesh: Mesh, model, box, config: SolverConfig):
 
     from ..ops.stencil import make_stencil_matvec
 
-    dtype = jnp.float64 if config.dtype == "float64" else jnp.float32
+    dtype = (
+        jnp.float64 if config.resolved_dtype() == "float64" else jnp.float32
+    )
     matvec = make_stencil_matvec(model, box, dtype)
     R = model.n_reactions
     step = make_step_fn(

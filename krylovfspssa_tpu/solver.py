@@ -22,14 +22,14 @@ from __future__ import annotations
 
 import dataclasses
 import time
-from typing import Any, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .config import SolverConfig
-from .krylov.stepper import EPS, StepCarry, initial_carry, make_step_fn
+from .krylov.stepper import EPS, initial_carry, make_step_fn
 from .models.model import Model
 from .ops.operator import build_operator
 from .ops.spmv import spmv
@@ -89,7 +89,11 @@ class CmeSolver:
             model.n_species, self.config.max_molecules
         )
         self._stoich = np.asarray(model.stoichiometry, dtype=np.int64)
-        self._dtype = jnp.float64 if self.config.dtype == "float64" else jnp.float32
+        self._dtype = (
+            jnp.float64
+            if self.config.resolved_dtype() == "float64"
+            else jnp.float32
+        )
 
         def props_fn(states):
             return model.propensities(states)
@@ -126,11 +130,14 @@ class CmeSolver:
     def solve(
         self,
         t: float,
-        initial_states: Sequence[Sequence[int]],
+        initial_states: Sequence[Sequence[int]] | None = None,
         p0: Sequence[float] | None = None,
         fsp_tol: float = 1e-4,
         krylov_tol: float = 1e-10,
         verbosity: int | None = None,
+        checkpoint_path: str | None = None,
+        checkpoint_every: int = 50,
+        resume_from: str | None = None,
     ) -> SolveResult:
         """Solve dp/dt = A p from the initial distribution to time ``t``.
 
@@ -141,50 +148,90 @@ class CmeSolver:
             the drivers' ``p0(1)=1`` convention, TestSolverFromFile.f90:29).
           fsp_tol: total FSP truncation error budget (FSPTOL).
           krylov_tol: local Krylov error tolerance (EXP_TOL/KRYTOL).
+          checkpoint_path / checkpoint_every: write a resumable snapshot
+            every N accepted steps.
+          resume_from: continue from a previous table-backend snapshot
+            (t/tolerances come from the snapshot).
         """
         cfg = self.config
         verbosity = cfg.verbosity if verbosity is None else verbosity
         wall0 = time.perf_counter()
 
-        init = np.atleast_2d(np.asarray(initial_states, dtype=np.int32))
-        if p0 is None:
-            p0 = np.zeros(init.shape[0])
-            p0[0] = 1.0
-        p0 = np.asarray(p0, dtype=np.float64)
+        if resume_from is not None:
+            from .checkpoint import load_table_checkpoint
 
-        table = StateTable.from_states(
-            init, self.encoder, cfg.init_capacity, cfg.max_states
-        )
-        w_np = np.zeros(table.capacity, dtype=np.float64)
-        rows = np.asarray(table.lookup_states(init))
-        w_np[rows] = p0
+            (states_ck, w_ck, carry, t, fsp_tol, krytol, rng_state) = (
+                load_table_checkpoint(resume_from)
+            )
+            table = StateTable.from_states(
+                states_ck, self.encoder, cfg.init_capacity, cfg.max_states
+            )
+            w_np = _repad(w_ck, table.capacity)
+            w = jnp.asarray(w_np, dtype=self._dtype)
+            op = self._operator(table)
+            rng = jnp.asarray(rng_state)
+        else:
+            if initial_states is None:
+                raise ValueError("initial_states required unless resuming")
+            init = np.atleast_2d(np.asarray(initial_states, dtype=np.int32))
+            if p0 is None:
+                p0 = np.zeros(init.shape[0])
+                p0[0] = 1.0
+            p0 = np.asarray(p0, dtype=np.float64)
 
-        # start-up expansion (KrylovSolver.f90:130-134)
-        for _ in range(cfg.init_onestep_expansions):
-            table, _ = onestep_extend(table, self._stoich, cfg.max_states)
-        w_np = _repad(w_np, table.capacity)
-        w = jnp.asarray(w_np, dtype=self._dtype)
+            table = StateTable.from_states(
+                init, self.encoder, cfg.init_capacity, cfg.max_states
+            )
+            w_np = np.zeros(table.capacity, dtype=np.float64)
+            rows = np.asarray(table.lookup_states(init))
+            w_np[rows] = p0
 
-        op = self._operator(table)
+            # start-up expansion (KrylovSolver.f90:130-134)
+            for _ in range(cfg.init_onestep_expansions):
+                table, _ = onestep_extend(table, self._stoich, cfg.max_states)
+            w_np = _repad(w_np, table.capacity)
+            w = jnp.asarray(w_np, dtype=self._dtype)
 
-        # tolerance floor (KrylovSolver.f90:171)
-        krytol = float(krylov_tol)
-        if krytol <= EPS:
-            krytol = float(np.sqrt(EPS))
+            op = self._operator(table)
 
-        beta = float(np.linalg.norm(w_np))
-        if beta == 0.0:
-            raise ValueError("initial probability vector is zero")
-        carry = initial_carry(beta, abs(t), krytol, cfg.anorm, cfg.m_min)
+            # tolerance floor (KrylovSolver.f90:171)
+            krytol = float(krylov_tol)
+            if krytol <= EPS:
+                krytol = float(np.sqrt(EPS))
+
+            beta = float(np.linalg.norm(w_np))
+            if beta == 0.0:
+                raise ValueError("initial probability vector is zero")
+            carry = initial_carry(beta, abs(t), krytol, cfg.anorm, cfg.m_min)
+            rng = jax.random.PRNGKey(cfg.seed)
 
         t_out = jnp.asarray(float(t), jnp.float64)
         fsptol_j = jnp.asarray(float(fsp_tol), jnp.float64)
         krytol_j = jnp.asarray(krytol, jnp.float64)
 
         stats = SolverStats()
-        rng = jax.random.PRNGKey(cfg.seed)
         hard_cap = cfg.mxstep if cfg.mxstep > 0 else 1_000_000
         iteration = 0
+        last_ckpt = [int(carry.nstep)]
+
+        def maybe_checkpoint():
+            if checkpoint_path is None:
+                return
+            nstep = int(carry.nstep)
+            if nstep - last_ckpt[0] >= int(checkpoint_every):
+                from .checkpoint import save_table_checkpoint
+
+                save_table_checkpoint(
+                    checkpoint_path,
+                    np.asarray(table.states[: table.n]),
+                    np.asarray(w, dtype=np.float64)[: table.n],
+                    jax.device_get(carry),
+                    float(t_out),
+                    float(fsptol_j),
+                    float(krytol_j),
+                    np.asarray(rng),
+                )
+                last_ckpt[0] = nstep
 
         while float(carry.t_now) < abs(t):
             iteration += 1
@@ -271,6 +318,7 @@ class CmeSolver:
             stats.records.append(rec)
             if verbosity:
                 print(rec.format(), flush=True)
+            maybe_checkpoint()
 
         # ---- final statistics (KrylovSolver.f90:554-573) ---------------
         stats.nmult = int(carry.nmult)

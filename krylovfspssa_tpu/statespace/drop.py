@@ -21,7 +21,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 #: threshold ladder 1e-8, 1e-9, ... (StateSpace.f90:416-426)
 _N_LEVELS = 24

@@ -31,21 +31,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .encoding import StateEncoder
 from .table import StateTable
 
 
 def onestep_candidates(table: StateTable, stoichiometry: np.ndarray):
     """Keys + states of all legal 1-step successors not in the table."""
     stoich = jnp.asarray(np.asarray(stoichiometry), dtype=jnp.int32)
-    n, cap, d = table.n, table.capacity, table.encoder.n_species
+    enc = table.encoder
+    n, cap, d = table.n, table.capacity, enc.n_species
     R = stoich.shape[0]
     succ = table.states[:, None, :] + stoich[None, :, :]  # (cap, R, d)
-    keys = table.encoder.encode(succ.reshape(cap * R, d))
-    active = (jnp.arange(cap) < n)[:, None]
-    keys = jnp.where(active, keys.reshape(cap, R), -1).reshape(-1)
+    keys = enc.encode(succ.reshape(cap * R, d))
+    inactive = ~((jnp.arange(cap)[:, None] < n) & jnp.ones((1, R), bool))
+    keys = enc.invalidate(keys, inactive.reshape(-1))
     present = table.lookup(keys)
-    keys = jnp.where(present < 0, keys, -1)
+    keys = enc.invalidate(keys, present >= 0)
     return keys, succ.reshape(cap * R, d)
 
 
@@ -61,28 +61,22 @@ def onestep_extend(
 
 
 @partial(jax.jit, static_argnames=("max_steps", "props_fn"))
-def _ssa_walk_keys(
+def _ssa_walk_states(
     states,  # (chunk, d) int32 walk origins
     alive0,  # (chunk,) bool
     t_budget,  # scalar f64
     rng,  # PRNG key
     props_fn,  # static: (m, d) states -> (m, R) propensities
     stoich,  # (R, d) int32
-    shifts,  # (d,) int64 encoder shifts
     species_cap: jnp.ndarray,  # scalar int64
     max_steps: int,
 ):
-    """Run Gillespie walks from each origin; return (max_steps, chunk) int64
-    keys of visited states (-1 where no visit)."""
+    """Run Gillespie walks from each origin; return (max_steps, chunk, d)
+    int32 visited states (all -1 where no visit).  Emitting states instead
+    of packed keys keeps this path encoder-independent (single- and
+    multi-word keys alike)."""
     chunk, d = states.shape
     R = stoich.shape[0]
-
-    def encode(x):
-        ok = jnp.all((x >= 0) & (x <= species_cap), axis=-1)
-        key = jnp.sum(
-            jnp.where(ok[:, None], x.astype(jnp.int64), 0) << shifts, axis=-1
-        )
-        return jnp.where(ok, key, -1), ok
 
     def step(carry, step_rng):
         x, t, alive = carry
@@ -101,20 +95,24 @@ def _ssa_walk_keys(
         k = jnp.sum((cum < r2a[:, None]).astype(jnp.int32), axis=1)
         k = jnp.minimum(k, R - 1)
         x_next = x + stoich[k]
-        key, legal = encode(x_next)
+        legal = jnp.all(
+            (x_next >= 0) & (x_next.astype(jnp.int64) <= species_cap),
+            axis=-1,
+        )
         stepped = alive & (diag > 0)
-        emit = jnp.where(stepped & legal, key, -1)
-        x_new = jnp.where((stepped & legal)[:, None], x_next, x)
+        ok = stepped & legal
+        emit = jnp.where(ok[:, None], x_next, -1)
+        x_new = jnp.where(ok[:, None], x_next, x)
         t_new = jnp.where(stepped, t_next, t)
         # walk ends on illegal move (StateSpace.f90:594-596) or exhausted
         # budget (loop guard :626)
-        alive_new = stepped & legal & (t_new < t_budget)
+        alive_new = ok & (t_new < t_budget)
         return (x_new, t_new, alive_new), emit
 
     rngs = jax.random.split(rng, max_steps * 2).reshape(max_steps, 2, -1)
     t0 = jnp.zeros((chunk,), dtype=jnp.float64)
     (_, _, _), emitted = jax.lax.scan(step, (states, t0, alive0), rngs)
-    return emitted  # (max_steps, chunk)
+    return emitted  # (max_steps, chunk, d)
 
 
 def ssa_extend(
@@ -133,34 +131,33 @@ def ssa_extend(
     propensity evaluator.
     """
     stoich = jnp.asarray(np.asarray(stoichiometry), dtype=jnp.int32)
-    shifts = jnp.asarray(table.encoder.shifts)
     cap_val = jnp.int64(table.encoder.species_cap)
+    d = table.encoder.n_species
     n = table.n
     added_total = 0
     for lo in range(0, n, chunk_size):
         hi = min(lo + chunk_size, n)
         m = hi - lo
         pad = -(-m // 256) * 256  # pad chunk to avoid shape churn
-        origin = np.zeros((pad, table.encoder.n_species), dtype=np.int32)
+        origin = np.zeros((pad, d), dtype=np.int32)
         origin[:m] = np.asarray(table.states[lo:hi])
         alive = np.zeros(pad, dtype=bool)
         alive[:m] = True
-        keys = _ssa_walk_keys(
+        visited = _ssa_walk_states(
             jnp.asarray(origin),
             jnp.asarray(alive),
             jnp.asarray(float(t_budget), jnp.float64),
             jax.random.fold_in(rng, lo),
             model_props_fn,
             stoich,
-            shifts,
             cap_val,
             max_steps,
         )
-        keys_np = np.asarray(keys).reshape(-1)
-        keys_np = np.unique(keys_np[keys_np >= 0])
-        if keys_np.size == 0:
+        st = np.asarray(visited).reshape(-1, d)
+        st = np.unique(st[st[:, 0] >= 0], axis=0)
+        if st.shape[0] == 0:
             continue
-        states_np = np.asarray(table.encoder.decode(jnp.asarray(keys_np)))
-        table, added = table.merge_keys(keys_np, states_np, max_capacity)
+        keys_np = np.asarray(table.encoder.encode(jnp.asarray(st)))
+        table, added = table.merge_keys(keys_np, st, max_capacity)
         added_total += added
     return table, added_total

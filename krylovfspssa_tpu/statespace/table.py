@@ -66,10 +66,13 @@ class StateTable:
         if states.ndim != 2 or states.shape[1] != encoder.n_species:
             raise ValueError(f"states shape {states.shape} invalid")
         keys = np.asarray(encoder.encode(states))
-        if np.any(keys < 0):
+        if np.any(_keys_invalid(keys, encoder)):
             raise ValueError("initial states out of encodable range")
         # dedup, preserving first-occurrence order
-        _, first = np.unique(keys, return_index=True)
+        if encoder.n_words == 1:
+            _, first = np.unique(keys, return_index=True)
+        else:
+            _, first = np.unique(keys, axis=0, return_index=True)
         order = np.sort(first)
         states = states[order]
         keys = keys[order]
@@ -82,24 +85,34 @@ class StateTable:
         cls, states_np, keys_np, n, capacity, encoder, host_index="rebuild"
     ) -> "StateTable":
         d = encoder.n_species
+        W = encoder.n_words
         st = np.zeros((capacity, d), dtype=np.int32)
         st[:n] = states_np[:n]
-        ky = np.full(capacity, -1, dtype=np.int64)
+        key_shape = (capacity,) if W == 1 else (capacity, W)
+        ky = np.full(key_shape, -1, dtype=np.int64)
         ky[:n] = keys_np[:n]
-        sort_src = np.where(ky >= 0, ky, _KEY_PAD)
-        perm = np.argsort(sort_src, kind="stable").astype(np.int32)
+        if W == 1:
+            sort_src = np.where(ky >= 0, ky, _KEY_PAD)
+            perm = np.argsort(sort_src, kind="stable").astype(np.int32)
+        else:
+            sort_src = np.where(ky[:, :1] >= 0, ky, _KEY_PAD)
+            # lexicographic with word 0 major (np.lexsort: last key primary)
+            perm = np.lexsort(
+                tuple(sort_src[:, w] for w in range(W - 1, -1, -1))
+            ).astype(np.int32)
         if host_index == "rebuild":
             host_index = None
-            try:
-                from ..native import NativeHashTable, available
+            if W == 1:
+                try:
+                    from ..native import NativeHashTable, available
 
-                if available():
-                    host_index = NativeHashTable(max(64, 2 * int(n)))
-                    host_index.insert(
-                        keys_np[:n], np.arange(int(n), dtype=np.int32)
-                    )
-            except Exception:
-                host_index = None
+                    if available():
+                        host_index = NativeHashTable(max(64, 2 * int(n)))
+                        host_index.insert(
+                            keys_np[:n], np.arange(int(n), dtype=np.int32)
+                        )
+                except Exception:
+                    host_index = None
         return cls(
             encoder=encoder,
             capacity=capacity,
@@ -145,12 +158,15 @@ class StateTable:
             reuse_index = self.host_index
         else:
             present = np.asarray(self.lookup(jnp.asarray(new_keys)))
-            fresh = (present < 0) & (new_keys >= 0)
+            fresh = (present < 0) & ~_keys_invalid(new_keys, self.encoder)
             cand_keys = new_keys[fresh]
             cand_states = new_states[fresh]
-            if cand_keys.size == 0:
+            if cand_keys.shape[0] == 0:
                 return self, 0
-            _, first = np.unique(cand_keys, return_index=True)
+            if self.encoder.n_words == 1:
+                _, first = np.unique(cand_keys, return_index=True)
+            else:
+                _, first = np.unique(cand_keys, axis=0, return_index=True)
             order = np.sort(first)
             cand_keys = cand_keys[order]
             cand_states = cand_states[order]
@@ -182,6 +198,13 @@ class StateTable:
             states_np, keys_np, states_np.shape[0], self.capacity, self.encoder
         )
         return table, remap
+
+
+def _keys_invalid(keys: np.ndarray, encoder: StateEncoder) -> np.ndarray:
+    """Invalid-key mask for single- or multi-word host key arrays."""
+    if encoder.n_words == 1:
+        return keys < 0
+    return keys[..., 0] < 0
 
 
 def _bucket(n: int, current: int, max_capacity: int | None) -> int:

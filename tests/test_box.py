@@ -255,3 +255,49 @@ def test_mxreject_iflag2():
     res0 = make(SolverConfig(mxreject=0))(*args)
     assert int(res0.carry.iflag) == 0
     assert bool(res0.advanced)
+
+
+def test_lane_field_matches_axis_field():
+    """The TPU-layout (rows,128) lane-pattern field must equal the N-D
+    broadcast outer-product field for every reaction's shifted/plain
+    tables (the two are backend-selected alternatives)."""
+    import jax.numpy as jnp
+
+    from krylovfspssa_tpu.models.library import goutsias_model
+    from krylovfspssa_tpu.ops.stencil import (
+        _axis_field,
+        _factored_reaction_tables,
+        _lane_field,
+    )
+
+    model = goutsias_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[2, 6, 0, 2, 0, 0]])
+    for s, tgt in enumerate([16, 16, 8, 4, 4, 4]):
+        while box.extents[s] < tgt:
+            box = box.grow(s)
+    tables = _factored_reaction_tables(model, box)
+    assert tables is not None
+    for const, u_tabs, t_tabs in tables:
+        for tabs in (u_tabs, t_tabs):
+            a = np.asarray(_axis_field(box, tabs, const, jnp.float64))
+            b = np.asarray(_lane_field(box, tabs, const, jnp.float64))
+            np.testing.assert_allclose(b, a, rtol=1e-15, atol=0)
+
+
+def test_float32_mode_matches_float64_goutsias():
+    """Goutsias-class f32 agreement (the stiff flagship): dtype=float32
+    — the production TPU mode — must track the f64 solution to well
+    within fsp_tol at t=1 (rates span 1e-11..0.9, the hardest
+    conditioning among the bundled models)."""
+    model = goutsias_model()
+    x0 = [[2, 6, 0, 2, 0, 0]]
+    kw = dict(fsp_tol=1e-6, krylov_tol=1e-8)
+    r64 = solve_cme_box(model, 1.0, x0,
+                        config=SolverConfig(dtype="float64"), **kw)
+    r32 = solve_cme_box(model, 1.0, x0,
+                        config=SolverConfig(dtype="float32"), **kw)
+    assert r32.wsum >= 1.0 - 1e-6
+    d64 = {tuple(s): p for s, p in zip(r64.states, r64.probabilities)}
+    d32 = {tuple(s): p for s, p in zip(r32.states, r32.probabilities)}
+    for k in set(d64) | set(d32):
+        assert d32.get(k, 0.0) == pytest.approx(d64.get(k, 0.0), abs=2e-6)

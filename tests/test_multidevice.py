@@ -170,11 +170,15 @@ def test_box_full_solve_shard_invariance_fused():
 
 def test_box_full_solve_shard_invariance_stepwise():
     """Same bar for the non-fused (one device call per attempted step)
-    orchestration path."""
+    orchestration path.  use_halo=False isolates the GSPMD-partitioned
+    stencil: with the identical kernel the sharded trajectory must track
+    the single-device one step for step (the halo kernel is a different —
+    faster — arithmetic ordering and is covered by the fused test and
+    test_halo_full_solve_agreement)."""
     from krylovfspssa_tpu.boxsolver import solve_cme_box
 
     model = toggle_file_model()
-    cfg = SolverConfig(fused_steps=False)
+    cfg = SolverConfig(fused_steps=False, use_halo=False)
     kw = dict(fsp_tol=1e-4, krylov_tol=1e-8, config=cfg)
     r1 = solve_cme_box(model, 5.0, [[0, 0]], **kw)
     r8 = solve_cme_box(model, 5.0, [[0, 0]], mesh=make_mesh(8), **kw)
@@ -184,3 +188,46 @@ def test_box_full_solve_shard_invariance_stepwise():
     # 1e-7 is still three orders below fsp_tol
     np.testing.assert_allclose(r8.w_flat, r1.w_flat, rtol=0, atol=1e-7)
     assert r8.wsum >= 1.0 - 1e-4
+
+
+def test_halo_full_solve_agreement():
+    """The halo-exchange sharded solve agrees with single-device at the
+    solution level (its multiply ordering may legally pick different
+    adaptive steps, so the bar is solution agreement within tolerances,
+    not trajectory identity)."""
+    from krylovfspssa_tpu.boxsolver import solve_cme_box
+
+    model = toggle_file_model()
+    cfg = SolverConfig(fused_steps=False)
+    kw = dict(fsp_tol=1e-4, krylov_tol=1e-8, config=cfg)
+    r1 = solve_cme_box(model, 5.0, [[0, 0]], **kw)
+    r8 = solve_cme_box(model, 5.0, [[0, 0]], mesh=make_mesh(8), **kw)
+    assert r8.box.shape == r1.box.shape
+    assert r8.wsum >= 1.0 - 1e-4
+    np.testing.assert_allclose(r8.w_flat, r1.w_flat, rtol=0, atol=1e-6)
+
+
+def test_halo_exchange_matvec_matches_single():
+    """Explicit ppermute halo-exchange SpMV (ops/halo.py) vs the
+    single-device stencil — SURVEY §2 parallelism item 2."""
+    from krylovfspssa_tpu.boxspace.box import BoxSpace
+    from krylovfspssa_tpu.models.library import goutsias_model
+    from krylovfspssa_tpu.ops.halo import halo_sharded_matvec_jit
+    from krylovfspssa_tpu.ops.stencil import make_stencil_matvec
+
+    model = goutsias_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[2, 6, 0, 2, 0, 0]])
+    for s, tgt in enumerate([16, 16, 8, 4, 4, 4]):
+        while box.extents[s] < tgt:
+            box = box.grow(s)
+    mesh = make_mesh(8)
+    mv = halo_sharded_matvec_jit(model, box, mesh, jnp.float64)
+    assert mv is not None, "goutsias box must qualify for the halo path"
+    rng = np.random.default_rng(5)
+    mask = jnp.asarray(rng.random(box.volume) < 0.7)
+    x = jnp.asarray(rng.random(box.volume))
+    ref = np.asarray(make_stencil_matvec(model, box, jnp.float64)(mask, x))
+    got = mv(mask, x)
+    shard_devs = {s.device for s in got.addressable_shards}
+    assert len(shard_devs) == 8
+    np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-13, atol=1e-13)
