@@ -54,6 +54,10 @@ def time_matvec(matvec, mask, x, iters=400, repeats=2):
 
     iters amortizes the per-dispatch latency (the axon tunnel adds ~27 ms
     per call, which at 50 iters would inflate every reading by ~0.5 ms).
+    The inter-iteration normalization (needed so 400 chained matvecs
+    neither overflow nor vanish) runs in the vector dtype: measured on
+    v5e, an f64 normalization alone costs 0.14 ms at 4.2M cells (f64 is
+    emulated) — more than the f32 kernel under test.
     """
     import jax
     import jax.numpy as jnp
@@ -64,8 +68,8 @@ def time_matvec(matvec, mask, x, iters=400, repeats=2):
     def run(x):
         def body(i, x):
             y = matvec(mask, x)
-            nrm = jnp.sqrt(jnp.sum((y * y).astype(jnp.float64)) + 1e-300)
-            return y / nrm.astype(dtype)
+            nrm = jnp.sqrt(jnp.sum(y * y) + jnp.asarray(1e-30, dtype))
+            return y / nrm
 
         return jax.lax.fori_loop(0, iters, body, x)
 
@@ -111,6 +115,7 @@ def main():
             from krylovfspssa_tpu.ops.pallas_stencil import (
                 make_pallas_stencil_matvec_v2,
                 make_pallas_stencil_matvec_v3,
+                make_pallas_stencil_matvec_v4,
                 pallas_applicable,
             )
 
@@ -125,6 +130,9 @@ def main():
                 mv3 = make_pallas_stencil_matvec_v3(model, box)
                 if mv3 is not None:
                     variants.append(("pallas-v3-f32", jnp.float32, mv3))
+                mv4 = make_pallas_stencil_matvec_v4(model, box)
+                if mv4 is not None:
+                    variants.append(("pallas-v4-f32", jnp.float32, mv4))
         except Exception as e:  # noqa: BLE001
             log(f"pallas variant unavailable: {e}")
 

@@ -466,6 +466,324 @@ def make_pallas_stencil_matvec_v3(
     return matvec
 
 
+def make_pallas_stencil_matvec_v4(
+    model: Model,
+    box: BoxSpace,
+    block_rows: int = 1024,
+    interpret: bool = False,
+):
+    """Fourth-generation stencil kernel: zero-copy input, overlapped DMA.
+
+    Same factor-table compute as v3, with the per-call XLA prep pass
+    removed (it cost ~1/3 of the v3 wall time):
+
+    * **no input padding** — x arrives as the raw (rows, 128) view; the
+      first/last grid blocks clamp their window DMA to the array and
+      zero-fill the out-of-range halo rows in VMEM (every other block is
+      a plain full-window copy, branch chosen by grid position);
+    * **no input pre-masking** — callers guarantee ``supp(x) ⊆ mask``
+      (the Krylov iteration maintains this invariant: every Arnoldi
+      vector is a linear combination of masked matvec outputs, and
+      drop/growth re-mask w).  Out-of-mask *window* rows beyond the box
+      are zero-filled, and the output mask still gates y, so FSP
+      truncation semantics (reference ADJ=0, StateSpace.f90:235) are
+      unchanged;
+    * **double-buffered window DMA** — block i+1's window fetch overlaps
+      block i's compute (the v3 kernel fetched synchronously per block).
+
+    Returns None when the model is not separable or the geometry does
+    not qualify (halo taller than one block, volume not lane-aligned);
+    callers fall back to v3/v2.
+    """
+    from ..models.factorize import (
+        factorize_model,
+        factor_table,
+        shifted_factor_table,
+    )
+    from ..models.expressions import _eval_node
+
+    facts = factorize_model(model)
+    if facts is None:
+        return None
+
+    stoich = np.asarray(box.stoichiometry, dtype=np.int64)
+    R = stoich.shape[0]
+    d = box.n_species
+    vol = box.volume
+    if vol % LANES != 0:
+        return None
+    rows_tot = vol // LANES
+    shifts = [int(sh) for sh in box.shift_of_species]
+    bits = [int(b) for b in box.bits_of_species]
+    exts = [1 << b for b in bits]
+
+    s_off = [-int(o) for o in np.asarray(box.offsets)]
+    q = [so // LANES for so in s_off]
+    r = [so - LANES * qq for so, qq in zip(s_off, q)]
+    qmin = min(q + [0])
+    qmax = max(q + [0])
+
+    B = min(block_rows, rows_tot)
+    while rows_tot % B:
+        B //= 2
+    B = max(B, 8)
+    n_blocks = rows_tot // B
+    qmin_al = (qmin // 8) * 8
+    c0 = -qmin_al
+    WR = _round_up(B + (qmax - qmin_al) + 1, 8)
+    #: window rows missing before row 0 (block 0) / beyond the last row
+    lead = -qmin_al
+    excess = WR - B + qmin_al
+    if n_blocks < 2 or lead > B or excess > B or WR - lead > rows_tot:
+        return None  # halo taller than a block: keep the padded v3 path
+
+    logp = int(np.log2(PCAP))
+
+    def _placement(k):
+        relevant = set(facts[k].factors) | {
+            int(s) for s in np.nonzero(stoich[k])[0]
+        }
+        pat, row = [], []
+        for s in sorted(relevant):
+            if shifts[s] + bits[s] <= 7 + logp:
+                pat.append(s)
+            elif shifts[s] >= 7:
+                row.append(s)
+            else:
+                return None
+        return pat, row
+
+    placements = [_placement(k) for k in range(R)]
+    if any(p is None for p in placements):
+        return None
+
+    P_k = []
+    for k, (pat, _row) in enumerate(placements):
+        p = 1
+        for s in pat:
+            p = max(p, 1 << max(0, shifts[s] + bits[s] - 7))
+        P_k.append(p)
+    Pmax = max(P_k)
+    if Pmax > B:
+        return None
+
+    pgrid = np.arange(Pmax)[:, None] * LANES + np.arange(LANES)[None, :]
+
+    def _pat_coord(s):
+        return (pgrid >> shifts[s]) & (exts[s] - 1)
+
+    patU = np.zeros((R, Pmax, LANES), dtype=np.float64)
+    patD = np.zeros((R, Pmax, LANES), dtype=np.float64)
+    for k, (pat, _row) in enumerate(placements):
+        u = np.full((Pmax, LANES), facts[k].const, dtype=np.float64)
+        t = np.full((Pmax, LANES), facts[k].const, dtype=np.float64)
+        for s in pat:
+            cs = _pat_coord(s)
+            u *= shifted_factor_table(
+                facts[k], s, exts[s], int(stoich[k, s]), model
+            )[cs]
+            if s in facts[k].factors:
+                t *= factor_table(facts[k], s, exts[s], model)[cs]
+        patU[k] = u
+        patD[k] = t
+
+    row_ks = [k for k in range(R) if placements[k][1]]
+    patD_static = patD[[k for k in range(R) if not placements[k][1]]].sum(0)
+    patD_rows = np.stack([patD_static] + [patD[k] for k in row_ks])
+    patU_f32 = jnp.asarray(patU, jnp.float32)
+    patD_f32 = jnp.asarray(patD_rows, jnp.float32)
+
+    params_env = {
+        name: float(v)
+        for name, v in zip(
+            model.parameter_names, np.asarray(model.parameters)
+        )
+    }
+    names = list(model.species_names)
+
+    def kernel(x_ref, mc_ref, pu_ref, pd_ref, y_ref, win, sem):
+        i = pl.program_id(0).astype(jnp.int32)
+        nb = pl.num_programs(0)
+
+        def start_dma(j, slot):
+            """Fetch block j's window; first/last blocks clamp + zero."""
+
+            @pl.when(j == 0)
+            def _():
+                if lead:
+                    win[slot, :lead, :] = jnp.zeros(
+                        (lead, LANES), jnp.float32
+                    )
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).start()
+
+            @pl.when((j > 0) & (j < nb - 1))
+            def _():
+                w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(w0, WR), :], win.at[slot], sem.at[slot]
+                ).start()
+
+            @pl.when(j == nb - 1)
+            def _():
+                if excess:
+                    win[slot, WR - excess :, :] = jnp.zeros(
+                        (excess, LANES), jnp.float32
+                    )
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_tot - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).start()
+
+        def wait_dma(j, slot):
+            """Wait with the same descriptor shape start_dma used for j."""
+
+            @pl.when(j == 0)
+            def _():
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).wait()
+
+            @pl.when((j > 0) & (j < nb - 1))
+            def _():
+                w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(w0, WR), :], win.at[slot], sem.at[slot]
+                ).wait()
+
+            @pl.when(j == nb - 1)
+            def _():
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_tot - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).wait()
+
+        @pl.when(i == 0)
+        def _():
+            start_dma(jnp.int32(0), jnp.int32(0))
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nslot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i + 1 < nb)
+        def _():
+            start_dma(i + jnp.int32(1), nslot)
+
+        wait_dma(i, slot)
+
+        rowid = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) + i * jnp.int32(B)
+        )
+        coord_cache: dict = {}
+        fac_cache: dict = {}
+
+        def row_coord(s):
+            if s not in coord_cache:
+                coord_cache[s] = (
+                    rowid >> jnp.int32(shifts[s] - 7)
+                ) & jnp.int32(exts[s] - 1)
+            return coord_cache[s]
+
+        def row_factor(k, s, shifted: bool):
+            nu = int(stoich[k, s]) if shifted else 0
+            node = facts[k].factors.get(s)
+            key = (id(node), s, nu)
+            if key in fac_cache:
+                return fac_cache[key]
+            c = row_coord(s)
+            src = c - jnp.int32(nu) if nu else c
+            if node is None:
+                val = jnp.ones((B, 1), jnp.float32)
+            else:
+                env = dict(params_env)
+                env[names[s]] = src.astype(jnp.float32)
+                val = jnp.asarray(_eval_node(node, env), jnp.float32)
+                val = jnp.broadcast_to(val, (B, 1))
+            if nu:
+                ok = (src >= 0) & (src < jnp.int32(exts[s]))
+                val = jnp.where(ok, val, 0.0)
+            fac_cache[key] = val
+            return val
+
+        def tile(pat2d):
+            return jnp.broadcast_to(
+                pat2d[None], (B // Pmax, Pmax, LANES)
+            ).reshape(B, LANES)
+
+        # slice the scratch REF (Mosaic allows arbitrary sublane/lane
+        # offsets when slicing refs, but not computed arrays)
+        center = win[slot, c0 : c0 + B, :]
+
+        dacc = tile(pd_ref[0])
+        for j, k in enumerate(row_ks):
+            t = tile(pd_ref[j + 1])
+            for s in placements[k][1]:
+                t = t * row_factor(k, s, shifted=False)
+            dacc = dacc + t
+        acc = -dacc * center
+
+        for k in range(R):
+            base = c0 + q[k]
+            if r[k] == 0:
+                shifted = win[slot, base : base + B, :]
+            else:
+                hi = win[slot, base : base + B, r[k] :]
+                lo = win[slot, base + 1 : base + B + 1, : r[k]]
+                shifted = jnp.concatenate([hi, lo], axis=1)
+            term = tile(pu_ref[k]) * shifted
+            for s in placements[k][1]:
+                term = term * row_factor(k, s, shifted=True)
+            acc = acc + term
+
+        y_ref[:, :] = jnp.where(mc_ref[:, :] != 0, acc, 0.0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (R, Pmax, LANES),
+                lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (len(row_ks) + 1, Pmax, LANES),
+                lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_tot, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, WR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+
+    def matvec(mask, x):
+        xm = x.astype(jnp.float32).reshape(rows_tot, LANES)
+        m8 = mask.astype(jnp.int8).reshape(rows_tot, LANES)
+        y = call(xm, m8, patU_f32, patD_f32)
+        return y.reshape(vol)
+
+    return matvec
+
+
 def make_pallas_stencil_matvec_v2(
     model: Model,
     box: BoxSpace,

@@ -113,6 +113,48 @@ def test_pallas_v3_matches_xla_stencil(mk, x0, target):
     )
 
 
+@pytest.mark.parametrize(
+    "mk,x0,target,block_rows",
+    [
+        (toggle_file_model, [[0, 0]], 256, 16),
+        (goutsias_model, [[2, 6, 0, 2, 0, 0]], 8, 512),
+    ],
+)
+def test_pallas_v4_matches_xla_stencil(mk, x0, target, block_rows):
+    """Zero-copy kernel vs the XLA stencil.  v4's contract requires
+    supp(x) ⊆ mask (the Krylov invariant), so x is pre-masked here."""
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_stencil_matvec_v4,
+    )
+
+    model = mk()
+    box = _grown_box(model, x0, target)
+    rng = np.random.default_rng(13)
+    mask = jnp.asarray(rng.random(box.volume) < 0.6)
+    x = jnp.where(mask, jnp.asarray(rng.random(box.volume), jnp.float32), 0)
+    ref = make_stencil_matvec(model, box, jnp.float32)(mask, x)
+    mv = make_pallas_stencil_matvec_v4(
+        model, box, block_rows=block_rows, interpret=True
+    )
+    assert mv is not None, "v4 should apply to separable bundled models"
+    got = mv(mask, x)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6 * scale
+    )
+
+
+def test_pallas_v4_refuses_tall_halo():
+    """A single-block geometry (halo spans the whole box) must fall back."""
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_stencil_matvec_v4,
+    )
+
+    model = goutsias_model()
+    box = _grown_box(model, [[2, 6, 0, 2, 0, 0]], 8)
+    assert make_pallas_stencil_matvec_v4(model, box, block_rows=4096) is None
+
+
 def test_pallas_v3_custom_propensity_falls_back():
     from krylovfspssa_tpu.ops.pallas_stencil import (
         make_pallas_stencil_matvec_v3,
