@@ -191,6 +191,19 @@ class BoxCmeSolver:
 
     # ---------------------------------------------------------------- #
 
+    def _geometry_config(self, box: BoxSpace) -> SolverConfig:
+        """Per-geometry config: m_max clamped so the Krylov basis
+        ((m_max+2) box-volume vectors) fits config.max_basis_bytes."""
+        cfg = self.config
+        if cfg.max_basis_bytes <= 0:
+            return cfg
+        itemsize = jnp.dtype(self._dtype).itemsize
+        mh = int(cfg.max_basis_bytes // (box.volume * itemsize))
+        m_eff = min(cfg.m_max, max(cfg.m_min, mh - 2))
+        if m_eff == cfg.m_max:
+            return cfg
+        return dataclasses.replace(cfg, m_max=m_eff)
+
     def _functions(self, box: BoxSpace):
         """Per-box-geometry jitted step/matvec/dilate/dilate_n (cached)."""
         key = (box.log2, box.axis_of_species)
@@ -205,7 +218,7 @@ class BoxCmeSolver:
 
             step = make_step_fn(
                 lambda mask: (lambda x: matvec(mask, x)),
-                self.config,
+                self._geometry_config(box),
                 op_info=lambda mask: (jnp.sum(mask).astype(jnp.int32), R),
             )
 
@@ -435,6 +448,9 @@ class BoxCmeSolver:
                 count = int(count)
                 n_active = int(jnp.sum(mask))
                 if count > cfg.drop_fraction * n_active:
+                    dropped_mass = jnp.sum(
+                        jnp.where(dmask, w.astype(jnp.float64), 0.0)
+                    )
                     mask = mask & ~dmask
                     w = jnp.where(dmask, 0.0, w)
                     dropped = count
@@ -443,6 +459,7 @@ class BoxCmeSolver:
                     carry = carry._replace(
                         beta=beta_new.astype(jnp.float64),
                         hump=jnp.maximum(carry.hump, beta_new),
+                        spent=carry.spent + dropped_mass,
                     )
 
             # ---- expansion = K dilation rounds + face growth -----------
@@ -512,7 +529,7 @@ class BoxCmeSolver:
                 make_advance_fn(
                     self.model,
                     box,
-                    self.config,
+                    self._geometry_config(box),
                     growable,
                     budget,
                     self._dtype,
@@ -700,12 +717,15 @@ class BoxCmeSolver:
         stats.x_error = float(carry.x_error)
         stats.s_error = float(carry.s_error)
         stats.t_final = float(carry.t_now)
+        stats.mass_spent = float(carry.spent)
         stats.hump_ratio = float(carry.hump / carry.vnorm)
         stats.final_norm_ratio = float(carry.beta / carry.vnorm)
         stats.wall_s = time.perf_counter() - wall0
 
         mask_np = host_gather(mask)
-        w_np = host_gather(w).astype(np.float64)
+        # report clipped probabilities (the f32 path keeps the signed
+        # vector in-solve to avoid accumulating clip bias)
+        w_np = np.maximum(host_gather(w).astype(np.float64), 0.0)
         active = np.nonzero(mask_np)[0]
         states = np.asarray(
             jnp.stack(

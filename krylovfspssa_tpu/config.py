@@ -112,6 +112,14 @@ class SolverConfig:
     #: RNG seed for SSA walks
     seed: int = 0
 
+    #: HBM budget for the Krylov basis V ((m_max+2) box-volume vectors).
+    #: Geometries where the full basis would exceed this get m_max clamped
+    #: to fit (the Niesen-Wright adaptivity simply works under the lower
+    #: cap).  Without it, a float64 solve on a 2^23-cell box allocates
+    #: 102 * 8M * 8B = 6.8 GB for V alone and OOM-crashes a 16 GB chip
+    #: inside the fused loop.  0 disables the clamp.
+    max_basis_bytes: int = 4 << 30
+
     # ---- numerics -------------------------------------------------------
     #: probability vector / Krylov basis dtype: "float64", "float32", or
     #: "auto" (the default) — float32 on accelerator backends (where it
@@ -122,6 +130,23 @@ class SolverConfig:
     #: logic matches the reference bit-for-bit; validated by the
     #: f32-vs-f64 agreement tests (tests/test_box.py).
     dtype: str = "auto"
+    #: Per-step FSP-criterion noise floor in float32 mode, in f32 ULP
+    #: (~1.19e-7).  A float32 probability vector's total mass carries
+    #: O(ULP) representation noise that random-walks across steps, so the
+    #: reference's *absolute* criterion ``wsum >= 1 - fsptol*(t+tau)/t_out``
+    #: eventually rejects forever on drift.  Float32 mode instead charges
+    #: each step's measured loss (start mass - end mass; the drift cancels
+    #: in the difference) against the remaining cumulative allowance
+    #: ``bound(t+tau) - spent`` plus this floor, where ``spent`` is the
+    #: cumulative measured loss (StepCarry.spent) — identical to the
+    #: reference criterion in exact arithmetic, but drift-free.  The
+    #: floor must exceed the per-attempt mass noise of an f32 Krylov
+    #: step (~2e-6 observed on a multi-million-cell mask; far smaller
+    #: on compact masks) or early steps reject on noise, expand the
+    #: mask, amplify the noise, and spiral to FSP overflow.  The loss
+    #: guarantee weakens to ``fsp_tol + floor``; tolerances below
+    #: ~1e-5 need float64.  Ignored in float64 mode.
+    f32_criterion_floor_ulps: float = 64.0
 
     def resolved_dtype(self) -> str:
         """Concrete dtype for this process' default backend."""

@@ -141,11 +141,14 @@ def make_advance_fn(
         mask_new = jnp.where(do, mask & ~dmask, mask)
         w_new = jnp.where(do & dmask, 0.0, w)
         beta_new = jnp.sqrt(jnp.sum((w_new * w_new).astype(jnp.float64)))
+        dropped_mass = jnp.sum(jnp.where(dmask, w64, 0.0))
         carry = carry._replace(
             beta=jnp.where(do, beta_new, carry.beta),
             hump=jnp.where(
                 do, jnp.maximum(carry.hump, beta_new), carry.hump
             ),
+            # dropped mass is spent FSP budget (drives the f32 drop budget)
+            spent=carry.spent + jnp.where(do, dropped_mass, 0.0),
         )
         return mask_new, w_new, carry, jnp.where(do, count, 0)
 

@@ -23,12 +23,32 @@ import jax
 import jax.numpy as jnp
 
 
+def dot64(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """<a, b> with float64 accumulation, at ~float32 cost.
+
+    A plain f32 tree-dot over n elements carries absolute error
+    ~log2(n) * eps32 * sum|a_i b_i| — for near-orthogonal Arnoldi vectors
+    that noise (~1e-6) dwarfs the true coefficient, floors the Hessenberg
+    entries, and blocks Krylov-dimension growth (the controller stalls at
+    m~15 with tiny steps).  Blocked accumulation bounds the f32 rounding
+    to one 128-wide lane sum (~7 roundings) and finishes the cross-block
+    reduction in f64, restoring f64-grade coefficients for f32 vectors.
+    """
+    if a.dtype == jnp.float64:
+        return jnp.dot(a, b)
+    p = a * b
+    n = p.shape[0]
+    if n % 128:
+        return jnp.sum(p.astype(jnp.float64))
+    return jnp.sum(jnp.sum(p.reshape(-1, 128), axis=1).astype(jnp.float64))
+
+
 class ArnoldiState(NamedTuple):
     V: jnp.ndarray  #: (m_max+2, cap) basis rows; V[j] = v_{j+1} (0-based)
-    H: jnp.ndarray  #: (m_max+2, m_max+2) Hessenberg (no augmented entry)
+    H: jnp.ndarray  #: (m_max+2, m_max+2) float64 Hessenberg (no augmented entry)
     breakdown: jnp.ndarray  #: bool — happy breakdown occurred
     mbrkdwn: jnp.ndarray  #: int32 — 1-based column where it occurred (== m if none)
-    avnorm: jnp.ndarray  #: float — ||A v_{m+1}|| (valid when no breakdown)
+    avnorm: jnp.ndarray  #: float64 — ||A v_{m+1}|| (valid when no breakdown)
     nmult: jnp.ndarray  #: int32 — matvec counter increment
 
 
@@ -64,13 +84,15 @@ def arnoldi_extend(
         def ortho(i, c):
             w, H = c
             vi = V[i - 1]
-            hij = jnp.dot(vi, w)
-            w = w - hij * vi
+            # f64-accumulated coefficient (H is float64); the AXPY stays
+            # in the basis dtype
+            hij = dot64(vi, w)
+            w = w - hij.astype(f) * vi
             H = H.at[i - 1, j - 1].set(hij)
             return (w, H)
 
         w, H = jax.lax.fori_loop(istart, j + 1, ortho, (w, H))
-        hj1j = jnp.sqrt(jnp.dot(w, w))
+        hj1j = jnp.sqrt(dot64(w, w))
 
         def on_breakdown(args):
             V, H, w, hj1j = args
@@ -79,7 +101,7 @@ def arnoldi_extend(
         def on_continue(args):
             V, H, w, hj1j = args
             H2 = H.at[j, j - 1].set(hj1j)
-            V2 = V.at[j].set(w / hj1j)
+            V2 = V.at[j].set(w * (1.0 / hj1j).astype(f))
             return V2, H2, jnp.bool_(False), m.astype(jnp.int32)
 
         V, H, brk, mb = jax.lax.cond(
@@ -106,11 +128,11 @@ def arnoldi_extend(
     def extra(args):
         V, nmult = args
         w = matvec(V[m])  # A v_{m+1}
-        return jnp.sqrt(jnp.dot(w, w)), nmult + 1
+        return jnp.sqrt(dot64(w, w)), nmult + 1
 
     def no_extra(args):
         V, nmult = args
-        return jnp.asarray(0.0, dtype=f), nmult
+        return jnp.asarray(0.0, dtype=jnp.float64), nmult
 
     avnorm, nmult = jax.lax.cond(~brk, extra, no_extra, (V, nmult))
 

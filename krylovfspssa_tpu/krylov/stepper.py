@@ -94,6 +94,12 @@ class StepCarry(NamedTuple):
     #: failure code: 0 ok, 2 = too many step rejections when
     #: config.mxreject > 0 (KrylovSolver.f90:392-397)
     iflag: jnp.ndarray
+    #: cumulative measured probability-mass loss (step truncation + drops),
+    #: float64.  In float32 mode the FSP criterion and the drop budget run
+    #: on this scalar instead of the absolute ``wsum`` (whose f32
+    #: representation noise random-walks ~1 ULP per step, which an
+    #: absolute comparison cannot distinguish from truncation loss).
+    spent: jnp.ndarray
 
 
 class StepResult(NamedTuple):
@@ -153,6 +159,7 @@ def initial_carry(beta, t_out, krytol, anorm, m0: int) -> StepCarry:
         hump=jnp.asarray(beta, f64),
         vnorm=jnp.asarray(beta, f64),
         iflag=jnp.asarray(0, jnp.int32),
+        spent=z,
     )
 
 
@@ -208,6 +215,21 @@ def make_step_fn(
         sgn = jnp.sign(t_out)
         t_out_abs = jnp.abs(t_out)
         rndoff = EPS * anorm
+        # float32 vectors carry O(ULP) noise in their total mass, which
+        # random-walks across steps; the absolute reference criterion
+        # ``wsum >= 1 - bound`` cannot tell that drift from truncation loss
+        # and rejects forever once it exceeds the bound.  In f32 mode the
+        # criterion is therefore *incremental*: each step's measured loss
+        # (start mass - end mass, both f64 sums of the f32 vector, so the
+        # drift largely cancels) is charged against its pro-rata allowance
+        # plus a small per-step noise floor, and the cumulative charge
+        # (carry.spent) drives the drop budget.
+        if f == jnp.float32:
+            crit_floor = config.f32_criterion_floor_ulps * float(
+                jnp.finfo(jnp.float32).eps
+            )
+        else:
+            crit_floor = 0.0
 
         def bound(tx):
             # FERRORBOUND (KrylovSolver.f90:609-616)
@@ -228,13 +250,22 @@ def make_step_fn(
             )
 
         # ------------------------------------------------ step set-up ----
+        # mass at the start of this step (after any drop), for the f32
+        # incremental criterion
+        wsum_start = jnp.sum(w.astype(jnp.float64)) if crit_floor else None
+
         t_step0 = jnp.minimum(t_out_abs - sc.t_now, sc.t_new)
         m0 = jnp.minimum(n.astype(jnp.int32) - 1, sc.m_new)
+        # m_new can carry a larger value across geometries whose memory
+        # clamp (config.max_basis_bytes) lowered this step's m_max
+        m0 = jnp.minimum(m0, m_max)
         m0 = jnp.maximum(m0, 1)
         beta = sc.beta
 
         V0 = jnp.zeros((MH, cap), dtype=f).at[0].set((w / beta).astype(f))
-        H0 = jnp.zeros((MH, MH), dtype=f)
+        # the Hessenberg is tiny and always float64: f32 coefficients would
+        # floor at vector-noise scale and stall the dimension adaptivity
+        H0 = jnp.zeros((MH, MH), dtype=jnp.float64)
 
         # ---------------------------------------------- attempt loop -----
         # phases: arnoldi (conditional) -> expm+error -> adapt -> decide
@@ -473,7 +504,7 @@ def make_step_fn(
             m_new=sc.m_new,
             k1=jnp.asarray(2, jnp.int32),
             mbrk=m0,
-            avnorm=jnp.asarray(0.0, f),
+            avnorm=jnp.asarray(0.0, jnp.float64),
             hnorm=jnp.asarray(0.0, jnp.float64),
             E=jnp.zeros((MH, MH), dtype=jnp.float64),
             err_loc=jnp.asarray(0.0, jnp.float64),
@@ -530,6 +561,12 @@ def make_step_fn(
                 return acc + coeff[j] * a.V[j]
 
             wc = jax.lax.fori_loop(0, mx, axpy, jnp.zeros(cap, dtype=f))
+            if crit_floor:
+                # f32: keep the signed vector.  Clipping every step turns
+                # zero-mean rounding noise into a systematic positive mass
+                # drift (~1e-7 per step, percent-level over long solves);
+                # results are clipped once at reporting instead.
+                return wc
             return jnp.maximum(wc, 0.0)
 
         class FC(NamedTuple):
@@ -549,13 +586,24 @@ def make_step_fn(
             w_c = assemble_w(fc.E)
             # mass criterion always accumulates in float64
             wsum = jnp.sum(w_c.astype(jnp.float64))
-            ok = wsum >= (1.0 - bound(sc.t_now + fc.t_step))
+            if crit_floor:
+                # f32: cumulative measured loss vs the reference bound —
+                # identical to the absolute criterion in exact arithmetic
+                # (spent + loss = 1 - wsum), but drift-free
+                ok = (sc.spent + (wsum_start - wsum)) <= (
+                    bound(sc.t_now + fc.t_step) + crit_floor
+                )
+            else:
+                ok = wsum >= (1.0 - bound(sc.t_now + fc.t_step))
             return fc._replace(w=w_c, wsum=wsum, ok=ok)
 
         def fsp_body(fc: FC) -> FC:
             # criterion failed: shrink the step via the FSP order model
             irejectfsp = fc.irejectfsp + 1
-            error = sc.wsum_old - fc.wsum
+            error = (
+                (wsum_start - fc.wsum) if crit_floor
+                else sc.wsum_old - fc.wsum
+            )
             abandon = irejectfsp >= max_fsp_rejects
 
             err_safe = jnp.maximum(error, 1e-300)
@@ -611,6 +659,10 @@ def make_step_fn(
         fc = jax.lax.while_loop(
             lambda fc: (~fc.ok) & (~fc.abandon) & (~fail), fsp_body, fc0
         )
+        # a final shrink that satisfies the criterion is an accepted step
+        # even though it also hit the rejection cap (the reference would
+        # accept that same tau on the post-expansion retry anyway)
+        fc = fc._replace(abandon=fc.abandon & ~fc.ok)
 
         iexpand = ((fc.irejectfsp > 0) | fc.abandon) & (~fail)
 
@@ -625,8 +677,36 @@ def make_step_fn(
 
         done = t_now_new >= t_out_abs
 
+        # cumulative measured loss (zero-mean noise cancels in the sum;
+        # clamp at 0 so upward drift cannot bank negative budget)
+        if crit_floor:
+            loss_step = wsum_start - fc.wsum
+        else:
+            loss_step = sc.wsum_old - fc.wsum
+        spent_new = jnp.maximum(
+            sc.spent + jnp.where(advanced, loss_step, 0.0), 0.0
+        )
+
+        if crit_floor:
+            # f32: pin the stored mass to the f64 bookkeeping.  The
+            # one-sided criterion preferentially accepts upward-noise
+            # steps (lossy attempts get rejected), so the raw f32 mass
+            # drifts up ~3e-7/step; rescaling each accepted vector to
+            # 1 - spent keeps the reference semantic (mass = 1 minus
+            # cumulative certified loss) without the drift.
+            target = 1.0 - spent_new
+            scale = jnp.where(
+                advanced & (fc.wsum > 0.0), target / fc.wsum, 1.0
+            )
+            w_final = w_final * scale.astype(f)
+            wsum_new = jnp.where(advanced, target, sc.wsum_old)
+
         # drop surplus (509-511); host acts when dsum > 0
-        dsum_raw = fc.wsum - (1.0 - bound(t_now_new))
+        if crit_floor:
+            # f32: remaining cumulative allowance, immune to wsum drift
+            dsum_raw = jnp.maximum(bound(t_now_new) - spent_new, 0.0)
+        else:
+            dsum_raw = fc.wsum - (1.0 - bound(t_now_new))
         can_drop = advanced & (~done) & (nstep_new > 1) & (~iexpand)
         dsum = jnp.where(can_drop, dsum_raw, 0.0)
 
@@ -671,6 +751,7 @@ def make_step_fn(
             hump=jnp.maximum(sc.hump, beta_new),
             vnorm=sc.vnorm,
             iflag=jnp.where(fail, 2, sc.iflag).astype(jnp.int32),
+            spent=spent_new,
         )
         return StepResult(
             w=w_final,

@@ -112,10 +112,27 @@ class CmeSolver:
             )
 
         self._build_op = build_op
-        self._step = jax.jit(
-            make_step_fn(lambda op: (lambda x: spmv(op, x)), self.config)
-        )
+        self._steps: dict = {}
         self._matvec = jax.jit(spmv)
+
+    def _step(self, op, w, *args):
+        """Jitted step for the current capacity, m_max clamped so the
+        Krylov basis ((m_max+2, capacity)) fits config.max_basis_bytes."""
+        cfg = self.config
+        m_eff = cfg.m_max
+        if cfg.max_basis_bytes > 0:
+            itemsize = jnp.dtype(self._dtype).itemsize
+            mh = int(cfg.max_basis_bytes // (w.shape[0] * itemsize))
+            m_eff = min(cfg.m_max, max(cfg.m_min, mh - 2))
+        if m_eff not in self._steps:
+            cfg_eff = (
+                cfg if m_eff == cfg.m_max
+                else dataclasses.replace(cfg, m_max=m_eff)
+            )
+            self._steps[m_eff] = jax.jit(
+                make_step_fn(lambda op: (lambda x: spmv(op, x)), cfg_eff)
+            )
+        return self._steps[m_eff](op, w, *args)
 
     # ------------------------------------------------------------------ #
 
@@ -268,6 +285,8 @@ class CmeSolver:
                 count = int(count)
                 if count > cfg.drop_fraction * table.n:
                     keep = ~np.asarray(mask)[: table.n]
+                    w_rows = np.asarray(w, dtype=np.float64)[: table.n]
+                    dropped_mass = float(w_rows[~keep].sum())
                     w_kept = np.asarray(w)[: table.n][keep]
                     table, _ = table.compact(keep)
                     w_np = _repad(w_kept, table.capacity)
@@ -279,6 +298,7 @@ class CmeSolver:
                     carry = carry._replace(
                         beta=jnp.asarray(beta_new, jnp.float64),
                         hump=jnp.maximum(carry.hump, beta_new),
+                        spent=carry.spent + dropped_mass,
                     )
 
             # ---- SSA + 1-step expansion (KrylovSolver.f90:516-534) -----
@@ -335,12 +355,15 @@ class CmeSolver:
         stats.x_error = float(carry.x_error)
         stats.s_error = float(carry.s_error)
         stats.t_final = float(carry.t_now)
+        stats.mass_spent = float(carry.spent)
         stats.hump_ratio = float(carry.hump / carry.vnorm)
         stats.final_norm_ratio = float(carry.beta / carry.vnorm)
         stats.final_fsp_size = table.n
         stats.wall_s = time.perf_counter() - wall0
 
-        w_final = np.asarray(w, dtype=np.float64)[: table.n]
+        # report clipped probabilities (the f32 path keeps the signed
+        # vector in-solve to avoid accumulating clip bias)
+        w_final = np.maximum(np.asarray(w, dtype=np.float64)[: table.n], 0.0)
         return SolveResult(
             states=np.asarray(table.states[: table.n]),
             probabilities=w_final,

@@ -67,6 +67,9 @@ class SolverStats:
     final_fsp_size: int = 0
     n_expansions: int = 0
     n_drops: int = 0
+    #: cumulative measured probability-mass loss (step truncation + drops);
+    #: drives the float32 FSP criterion and drop budget (StepCarry.spent)
+    mass_spent: float = 0.0
     wall_s: float = 0.0
     records: list[StepRecord] = dataclasses.field(default_factory=list)
 
