@@ -116,6 +116,7 @@ def main():
                 make_pallas_stencil_matvec_v2,
                 make_pallas_stencil_matvec_v3,
                 make_pallas_stencil_matvec_v4,
+                make_pallas_stencil_matvec_v5,
                 pallas_applicable,
             )
 
@@ -133,6 +134,9 @@ def main():
                 mv4 = make_pallas_stencil_matvec_v4(model, box)
                 if mv4 is not None:
                     variants.append(("pallas-v4-f32", jnp.float32, mv4))
+                mv5 = make_pallas_stencil_matvec_v5(model, box)
+                if mv5 is not None:
+                    variants.append(("pallas-v5-f32", jnp.float32, mv5))
         except Exception as e:  # noqa: BLE001
             log(f"pallas variant unavailable: {e}")
 

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .boxspace.box import BoxSpace
-from .config import SolverConfig
+from .config import SolverConfig, resolve_solve_dtype
 from .krylov.stepper import EPS, initial_carry, make_step_fn
 from .models.model import Model
 from .ops.stencil import active_touches_face, dilate_mask
@@ -121,6 +121,15 @@ class BoxCmeSolver:
             else jnp.float32
         )
         self._fns: dict = {}
+
+    def _set_dtype(self, name: str):
+        """Re-resolve the solve dtype (the f32 tolerance contract may force
+        float64 for a tight fsp_tol); invalidate per-dtype jit caches."""
+        dt = jnp.float64 if name == "float64" else jnp.float32
+        if dt is not self._dtype:
+            self._dtype = dt
+            self._fns = {}
+            self._warmed = set()
 
     # ---------------------------------------------------------------- #
 
@@ -352,11 +361,13 @@ class BoxCmeSolver:
                 load_checkpoint(resume_from)
             )
             t = t_ck
+            self._set_dtype(resolve_solve_dtype(cfg, float(fsp_tol)))
             mask = self._put_row(mask_np)
             w = self._put_row(w_np, self._dtype)
         else:
             if initial_states is None:
                 raise ValueError("initial_states required unless resuming")
+            self._set_dtype(resolve_solve_dtype(cfg, float(fsp_tol)))
             init = np.atleast_2d(np.asarray(initial_states, dtype=np.int64))
             if p0 is None:
                 p0 = np.zeros(init.shape[0])

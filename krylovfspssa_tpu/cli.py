@@ -65,9 +65,29 @@ def cmd_solve(args) -> int:
         cfg_kwargs["fused_steps"] = False
     config = SolverConfig(**cfg_kwargs)
 
+    mesh = None
+    if args.multihost:
+        from .parallel import multihost
+
+        multihost.initialize()
+        mesh = multihost.global_mesh()
+    elif args.devices:
+        import jax
+        from jax.sharding import Mesh
+
+        devs = jax.devices()
+        if args.devices > len(devs):
+            raise SystemExit(
+                f"kfs: --devices {args.devices} requested but only "
+                f"{len(devs)} visible (set XLA_FLAGS="
+                "--xla_force_host_platform_device_count=N for a CPU mesh)"
+            )
+        mesh = Mesh(np.asarray(devs[: args.devices]), ("s",))
+
     kwargs = {}
     if args.backend == "box":
         solve = solve_cme_box
+        kwargs["mesh"] = mesh
         if args.checkpoint:
             kwargs["checkpoint_path"] = args.checkpoint
             kwargs["checkpoint_every"] = args.checkpoint_every
@@ -78,6 +98,10 @@ def cmd_solve(args) -> int:
         if args.checkpoint or args.resume:
             raise SystemExit(
                 "kfs: checkpoint/resume is a box-backend feature"
+            )
+        if mesh is not None:
+            raise SystemExit(
+                "kfs: --devices/--multihost needs the box backend"
             )
 
     import contextlib
@@ -216,7 +240,20 @@ def main(argv=None) -> int:
     ps.add_argument("--params", type=float, nargs="+",
                     help="override model parameters")
     ps.add_argument("--backend", choices=("box", "table"), default="box")
-    ps.add_argument("--dtype", choices=("auto", "float64", "float32"))
+    ps.add_argument("--dtype", choices=("auto", "float64", "float32"),
+                    help="probability-vector dtype. auto (default) = "
+                    "float32 on TPU, float64 on CPU; float32 certifies "
+                    "fsp_tol only down to ~1.5e-5 (the per-step noise "
+                    "floor is reserved out of the budget, so the FSP "
+                    "guarantee stays exactly fsp_tol) — tighter requests "
+                    "fall back to float64 under auto and are refused "
+                    "under explicit float32")
+    ps.add_argument("--devices", type=int, metavar="N",
+                    help="row-partition the solve over the first N local "
+                    "devices (box backend; jax.sharding 1-D mesh)")
+    ps.add_argument("--multihost", action="store_true",
+                    help="initialize jax.distributed and mesh over ALL "
+                    "devices of all processes (run one process per host)")
     ps.add_argument("--no-fused", action="store_true",
                     help="disable the fused device main loop")
     ps.add_argument("-v", "--verbose", action="count", default=0)

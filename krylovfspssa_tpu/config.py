@@ -141,12 +141,31 @@ class SolverConfig:
     #: cumulative measured loss (StepCarry.spent) — identical to the
     #: reference criterion in exact arithmetic, but drift-free.  The
     #: floor must exceed the per-attempt mass noise of an f32 Krylov
-    #: step (~2e-6 observed on a multi-million-cell mask; far smaller
-    #: on compact masks) or early steps reject on noise, expand the
-    #: mask, amplify the noise, and spiral to FSP overflow.  The loss
-    #: guarantee weakens to ``fsp_tol + floor``; tolerances below
-    #: ~1e-5 need float64.  Ignored in float64 mode.
+    #: step (~m_used*eps32, i.e. a few e-6 — it scales with the AXPY
+    #: chain depth per element, not with the mask size) or early steps
+    #: reject on noise, expand the mask, amplify the noise, and spiral
+    #: to FSP overflow.  The floor is RESERVED out of the user's budget
+    #: (the pro-rata bound runs on ``fsp_tol - floor``), so the final
+    #: certified loss is at most ``fsp_tol`` exactly as in float64; the
+    #: price is that float32 refuses tolerances without headroom above
+    #: the floor (see :func:`resolve_solve_dtype`).  Ignored in float64
+    #: mode.
     f32_criterion_floor_ulps: float = 64.0
+    #: minimum ratio of ``fsp_tol`` to the f32 criterion floor for a
+    #: float32 solve to be certifiable.  Below ``mult*floor`` (~1.5e-5 at
+    #: the defaults) the reserved budget leaves no room to integrate:
+    #: ``dtype="auto"`` silently falls back to float64, explicit
+    #: ``dtype="float32"`` raises (the FSP bound is an absolute guarantee,
+    #: KrylovSolver.f90:442-458 — never weaken it silently).
+    f32_min_fsp_tol_mult: float = 2.0
+
+    def f32_criterion_floor(self) -> float:
+        """The f32 per-step noise floor in absolute probability mass."""
+        return self.f32_criterion_floor_ulps * 1.1920928955078125e-07
+
+    def f32_min_fsp_tol(self) -> float:
+        """Tightest fsp_tol a float32 solve will certify."""
+        return self.f32_min_fsp_tol_mult * self.f32_criterion_floor()
 
     def resolved_dtype(self) -> str:
         """Concrete dtype for this process' default backend."""
@@ -170,3 +189,36 @@ class SolverConfig:
 
 
 DEFAULT_CONFIG = SolverConfig()
+
+
+def resolve_solve_dtype(
+    config: SolverConfig, fsp_tol: float, backend: str | None = None
+) -> str:
+    """Concrete solve dtype honoring the float32 tolerance contract.
+
+    Float32 mode certifies the FSP bound only down to
+    ``config.f32_min_fsp_tol()`` (~1.5e-5 at the defaults): below that the
+    reserved per-step noise floor leaves no budget to integrate.  The
+    reference treats the FSP bound as absolute (KrylovSolver.f90:442-458),
+    so a tighter request must never be silently weakened:
+
+      * ``dtype="auto"`` (the production default) falls back to float64,
+      * explicit ``dtype="float32"`` raises ``ValueError``.
+    """
+    if backend is None:
+        import jax
+
+        backend = jax.default_backend()
+    dt = config.dtype
+    if dt == "auto":
+        dt = "float64" if backend == "cpu" else "float32"
+    if dt == "float32" and fsp_tol < config.f32_min_fsp_tol():
+        if config.dtype == "auto":
+            return "float64"
+        raise ValueError(
+            f"fsp_tol={fsp_tol:g} is below the float32 certifiable minimum "
+            f"{config.f32_min_fsp_tol():g} (= f32_min_fsp_tol_mult x the "
+            "f32 criterion noise floor); use dtype='float64' or "
+            "dtype='auto', or loosen fsp_tol"
+        )
+    return dt

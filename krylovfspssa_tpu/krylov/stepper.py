@@ -223,16 +223,22 @@ def make_step_fn(
         # (start mass - end mass, both f64 sums of the f32 vector, so the
         # drift largely cancels) is charged against its pro-rata allowance
         # plus a small per-step noise floor, and the cumulative charge
-        # (carry.spent) drives the drop budget.
+        # (carry.spent) drives the drop budget.  The floor is RESERVED out
+        # of the budget (bound below runs on fsp_tol - floor), so the final
+        # certified loss is bound(t_out) + floor = fsp_tol exactly — the
+        # reference's absolute guarantee (KrylovSolver.f90:442-458) holds
+        # in both dtypes.  Callers enforce fsp_tol >= mult*floor before
+        # choosing float32 (config.resolve_solve_dtype).
         if f == jnp.float32:
-            crit_floor = config.f32_criterion_floor_ulps * float(
-                jnp.finfo(jnp.float32).eps
-            )
+            crit_floor = config.f32_criterion_floor()
         else:
             crit_floor = 0.0
 
         def bound(tx):
-            # FERRORBOUND (KrylovSolver.f90:609-616)
+            # FERRORBOUND (KrylovSolver.f90:609-616); f32 reserves the
+            # noise floor out of the budget (see above)
+            if crit_floor:
+                return tx * jnp.maximum(fsptol - crit_floor, 0.0) / t_out_abs
             return tx * fsptol / t_out_abs
 
         def krylov_cost(tau, m, hnorm):

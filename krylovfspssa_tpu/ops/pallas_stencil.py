@@ -784,6 +784,310 @@ def make_pallas_stencil_matvec_v4(
     return matvec
 
 
+def make_pallas_stencil_matvec_v5(
+    model: Model,
+    box: BoxSpace,
+    block_rows: int = 1024,
+    interpret: bool = False,
+    pattern_vmem_bytes: int = 4 << 20,
+):
+    """Fifth-generation stencil kernel: streamed diagonal, deep pattern fold.
+
+    The v4 ablation showed the remaining time spread across the in-kernel
+    diagonal accumulation, per-reaction row-factor multiplies, lane shifts,
+    and output masking.  v5 removes the first two:
+
+    * **streamed precomputed diagonal** — the total-outflow field
+      ``D(z) = sum_k a_k(z)`` (reference DIAG, StateSpace.f90:211-212) is
+      x-independent, so it is materialized ONCE per geometry (device
+      computation via the factor tables, f64 math, f32 ship) and streamed
+      block-by-block through the pallas pipeline.  One extra input vector
+      of HBM traffic replaces ~R (B,128) VPU multiplies+adds per block;
+    * **deep pattern fold** — the per-reaction inflow field
+      ``U_k(z) = C_k prod_s u_{k,s}(coord_s(z))`` is periodic in the block
+      row with period 2^(shift_s+bits_s-7); v3/v4 capped the precomputed
+      pattern at PCAP=128 rows and evaluated higher species as in-kernel
+      row factors.  v5 raises the cap to the largest period that (a)
+      divides the block, (b) fits ``pattern_vmem_bytes`` — on the Goutsias
+      flagship geometry this folds the 6-bit RNA axis into the patterns,
+      leaving only the two topmost gene-state axes as row factors.
+
+    Same zero-copy input and double-buffered window DMA as v4.  Returns
+    None when the model is not separable or the geometry does not qualify
+    (callers fall back to v4/v3/v2).
+    """
+    from ..models.factorize import factorize_model, shifted_factor_table
+    from ..models.expressions import _eval_node
+
+    facts = factorize_model(model)
+    if facts is None:
+        return None
+
+    stoich = np.asarray(box.stoichiometry, dtype=np.int64)
+    R = stoich.shape[0]
+    d = box.n_species
+    vol = box.volume
+    if vol % LANES != 0:
+        return None
+    rows_tot = vol // LANES
+    shifts = [int(sh) for sh in box.shift_of_species]
+    bits = [int(b) for b in box.bits_of_species]
+    exts = [1 << b for b in bits]
+
+    s_off = [-int(o) for o in np.asarray(box.offsets)]
+    q = [so // LANES for so in s_off]
+    r = [so - LANES * qq for so, qq in zip(s_off, q)]
+    qmin = min(q + [0])
+    qmax = max(q + [0])
+
+    B = min(block_rows, rows_tot)
+    while rows_tot % B:
+        B //= 2
+    B = max(B, 8)
+    n_blocks = rows_tot // B
+    qmin_al = (qmin // 8) * 8
+    c0 = -qmin_al
+    WR = _round_up(B + (qmax - qmin_al) + 1, 8)
+    lead = -qmin_al
+    excess = WR - B + qmin_al
+    if n_blocks < 2 or lead > B or excess > B or WR - lead > rows_tot:
+        return None
+
+    # ---- deepest pattern fold that fits the VMEM budget ------------------
+    def _placement(logp):
+        placements, pmax = [], 1
+        for k in range(R):
+            relevant = set(facts[k].factors) | {
+                int(s) for s in np.nonzero(stoich[k])[0]
+            }
+            pat, row = [], []
+            for s in sorted(relevant):
+                if shifts[s] + bits[s] <= 7 + logp:
+                    pat.append(s)
+                elif shifts[s] >= 7:
+                    row.append(s)
+                else:
+                    return None, None, None
+                if s in pat:
+                    pmax = max(pmax, 1 << max(0, shifts[s] + bits[s] - 7))
+            placements.append((pat, row))
+        return placements, pmax, logp
+
+    chosen = None
+    for logp in range(int(np.log2(B)), -1, -1):
+        placements, Pmax, _ = _placement(logp)
+        if placements is None or Pmax > B:
+            continue
+        if R * Pmax * LANES * 4 <= pattern_vmem_bytes:
+            chosen = (placements, Pmax)
+            break
+    if chosen is None:
+        return None
+    placements, Pmax = chosen
+
+    # ---- precomputed inflow patterns (f64 build, f32 ship) ---------------
+    pgrid = np.arange(Pmax)[:, None] * LANES + np.arange(LANES)[None, :]
+    patU = np.zeros((R, Pmax, LANES), dtype=np.float64)
+    for k, (pat, _row) in enumerate(placements):
+        u = np.full((Pmax, LANES), facts[k].const, dtype=np.float64)
+        for s in pat:
+            cs = (pgrid >> shifts[s]) & (exts[s] - 1)
+            u *= shifted_factor_table(
+                facts[k], s, exts[s], int(stoich[k, s]), model
+            )[cs]
+        patU[k] = u
+    patU_f32 = jnp.asarray(patU, jnp.float32)
+
+    # ---- streamed diagonal field (device-built once per geometry) --------
+    from .stencil import make_diag_fn
+
+    diag_fn = make_diag_fn(model, box, jnp.float64)
+    D_f32 = jax.jit(
+        lambda: diag_fn(jnp.ones((vol,), bool)).astype(jnp.float32)
+    )().reshape(rows_tot, LANES)
+
+    params_env = {
+        name: float(v)
+        for name, v in zip(
+            model.parameter_names, np.asarray(model.parameters)
+        )
+    }
+    names = list(model.species_names)
+
+    def kernel(x_ref, mc_ref, d_ref, pu_ref, y_ref, win, sem):
+        i = pl.program_id(0).astype(jnp.int32)
+        nb = pl.num_programs(0)
+
+        def start_dma(j, slot):
+            @pl.when(j == 0)
+            def _():
+                if lead:
+                    win[slot, :lead, :] = jnp.zeros(
+                        (lead, LANES), jnp.float32
+                    )
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).start()
+
+            @pl.when((j > 0) & (j < nb - 1))
+            def _():
+                w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(w0, WR), :], win.at[slot], sem.at[slot]
+                ).start()
+
+            @pl.when(j == nb - 1)
+            def _():
+                if excess:
+                    win[slot, WR - excess :, :] = jnp.zeros(
+                        (excess, LANES), jnp.float32
+                    )
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_tot - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).start()
+
+        def wait_dma(j, slot):
+            @pl.when(j == 0)
+            def _():
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).wait()
+
+            @pl.when((j > 0) & (j < nb - 1))
+            def _():
+                w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(w0, WR), :], win.at[slot], sem.at[slot]
+                ).wait()
+
+            @pl.when(j == nb - 1)
+            def _():
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_tot - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).wait()
+
+        @pl.when(i == 0)
+        def _():
+            start_dma(jnp.int32(0), jnp.int32(0))
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nslot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i + 1 < nb)
+        def _():
+            start_dma(i + jnp.int32(1), nslot)
+
+        wait_dma(i, slot)
+
+        rowid = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0) + i * jnp.int32(B)
+        )
+        coord_cache: dict = {}
+        fac_cache: dict = {}
+
+        def row_coord(s):
+            if s not in coord_cache:
+                coord_cache[s] = (
+                    rowid >> jnp.int32(shifts[s] - 7)
+                ) & jnp.int32(exts[s] - 1)
+            return coord_cache[s]
+
+        def row_factor(k, s):
+            """(B,1) f32 shifted factor of species s for reaction k."""
+            nu = int(stoich[k, s])
+            node = facts[k].factors.get(s)
+            key = (id(node), s, nu)
+            if key in fac_cache:
+                return fac_cache[key]
+            c = row_coord(s)
+            src = c - jnp.int32(nu) if nu else c
+            if node is None:
+                val = jnp.ones((B, 1), jnp.float32)
+            else:
+                env = dict(params_env)
+                env[names[s]] = src.astype(jnp.float32)
+                val = jnp.asarray(_eval_node(node, env), jnp.float32)
+                val = jnp.broadcast_to(val, (B, 1))
+            if nu:
+                ok = (src >= 0) & (src < jnp.int32(exts[s]))
+                val = jnp.where(ok, val, 0.0)
+            fac_cache[key] = val
+            return val
+
+        def tile(pat2d):
+            return jnp.broadcast_to(
+                pat2d[None], (B // Pmax, Pmax, LANES)
+            ).reshape(B, LANES)
+
+        center = win[slot, c0 : c0 + B, :]
+        acc = -(d_ref[:, :] * center)
+
+        for k in range(R):
+            base = c0 + q[k]
+            if r[k] == 0:
+                shifted = win[slot, base : base + B, :]
+            else:
+                hi = win[slot, base : base + B, r[k] :]
+                lo = win[slot, base + 1 : base + B + 1, : r[k]]
+                shifted = jnp.concatenate([hi, lo], axis=1)
+            term = tile(pu_ref[k]) * shifted
+            for s in placements[k][1]:
+                term = term * row_factor(k, s)
+            acc = acc + term
+
+        y_ref[:, :] = jnp.where(mc_ref[:, :] != 0, acc, 0.0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (R, Pmax, LANES),
+                lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_tot, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, WR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+
+    def matvec(mask, x):
+        xm = x.astype(jnp.float32).reshape(rows_tot, LANES)
+        m8 = mask.astype(jnp.int8).reshape(rows_tot, LANES)
+        y = call(xm, m8, D_f32, patU_f32)
+        return y.reshape(vol)
+
+    # introspection for tests/benchmark ablations
+    matvec._pmax = Pmax
+    matvec._placements = placements
+    matvec._block_rows = B
+    return matvec
+
+
 def make_pallas_stencil_matvec_v2(
     model: Model,
     box: BoxSpace,

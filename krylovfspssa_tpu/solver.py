@@ -28,7 +28,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import SolverConfig
+from .config import SolverConfig, resolve_solve_dtype
 from .krylov.stepper import EPS, initial_carry, make_step_fn
 from .models.model import Model
 from .ops.operator import build_operator
@@ -89,31 +89,35 @@ class CmeSolver:
             model.n_species, self.config.max_molecules
         )
         self._stoich = np.asarray(model.stoichiometry, dtype=np.int64)
-        self._dtype = (
-            jnp.float64
-            if self.config.resolved_dtype() == "float64"
-            else jnp.float32
-        )
 
         def props_fn(states):
             return model.propensities(states)
 
         self._props_fn = props_fn
+        self._dtype = None
+        self._set_dtype(self.config.resolved_dtype())
+        self._matvec = jax.jit(spmv)
 
+    def _set_dtype(self, name: str):
+        """(Re-)resolve the solve dtype (the f32 tolerance contract may
+        force float64 for a tight fsp_tol); rebuild per-dtype jit caches."""
+        dt = jnp.float64 if name == "float64" else jnp.float32
+        if dt is self._dtype:
+            return
+        self._dtype = dt
         enc = self.encoder
         stoich = self._stoich
-        dtype = self._dtype
+        props_fn = self._props_fn
 
         @jax.jit
         def build_op(states, sorted_keys, sorted_to_row, n):
             return build_operator(
                 states, sorted_keys, sorted_to_row, n,
-                props_fn, stoich, enc, dtype,
+                props_fn, stoich, enc, dt,
             )
 
         self._build_op = build_op
         self._steps: dict = {}
-        self._matvec = jax.jit(spmv)
 
     def _step(self, op, w, *args):
         """Jitted step for the current capacity, m_max clamped so the
@@ -180,6 +184,7 @@ class CmeSolver:
             (states_ck, w_ck, carry, t, fsp_tol, krytol, rng_state) = (
                 load_table_checkpoint(resume_from)
             )
+            self._set_dtype(resolve_solve_dtype(cfg, float(fsp_tol)))
             table = StateTable.from_states(
                 states_ck, self.encoder, cfg.init_capacity, cfg.max_states
             )
@@ -190,6 +195,7 @@ class CmeSolver:
         else:
             if initial_states is None:
                 raise ValueError("initial_states required unless resuming")
+            self._set_dtype(resolve_solve_dtype(cfg, float(fsp_tol)))
             init = np.atleast_2d(np.asarray(initial_states, dtype=np.int32))
             if p0 is None:
                 p0 = np.zeros(init.shape[0])

@@ -175,18 +175,19 @@ def test_fused_loop_matches_host_loop():
 def test_float32_mode_matches_float64():
     """dtype=float32 (the Pallas-kernel mode on TPU) must agree with the
     f64 default to well within the FSP tolerance; the mass criterion and
-    small-H expm stay f64 in both modes."""
+    small-H expm stay f64 in both modes.  fsp_tol=2e-5 is just above the
+    f32 certifiable minimum (config.f32_min_fsp_tol() ~ 1.5e-5)."""
     model = bursting_gene_model()
-    r64 = solve_cme_box(model, 20.0, [[0, 0]], fsp_tol=1e-5,
+    r64 = solve_cme_box(model, 20.0, [[0, 0]], fsp_tol=2e-5,
                         krylov_tol=1e-8)
-    r32 = solve_cme_box(model, 20.0, [[0, 0]], fsp_tol=1e-5,
+    r32 = solve_cme_box(model, 20.0, [[0, 0]], fsp_tol=2e-5,
                         krylov_tol=1e-8,
                         config=SolverConfig(dtype="float32"))
-    assert r32.wsum >= 1.0 - 1e-5
+    assert r32.wsum >= 1.0 - 2e-5
     d64 = {tuple(s): p for s, p in zip(r64.states, r64.probabilities)}
     d32 = {tuple(s): p for s, p in zip(r32.states, r32.probabilities)}
     for k in set(d64) | set(d32):
-        assert d32.get(k, 0.0) == pytest.approx(d64.get(k, 0.0), abs=1e-5)
+        assert d32.get(k, 0.0) == pytest.approx(d64.get(k, 0.0), abs=2e-5)
 
 
 def test_box_solver_grows_box():
@@ -286,18 +287,49 @@ def test_lane_field_matches_axis_field():
 
 def test_float32_mode_matches_float64_goutsias():
     """Goutsias-class f32 agreement (the stiff flagship): dtype=float32
-    — the production TPU mode — must track the f64 solution to well
-    within fsp_tol at t=1 (rates span 1e-11..0.9, the hardest
-    conditioning among the bundled models)."""
+    — the production TPU mode — must certify and track the f64 solution
+    at the tightest f32-certifiable tolerance (rates span 1e-11..0.9, the
+    hardest conditioning among the bundled models).  Tolerances below
+    config.f32_min_fsp_tol() (~1.5e-5) are refused/fall back to f64 —
+    covered by test_f32_tolerance_contract below."""
     model = goutsias_model()
     x0 = [[2, 6, 0, 2, 0, 0]]
-    kw = dict(fsp_tol=1e-6, krylov_tol=1e-8)
+    kw = dict(fsp_tol=2e-5, krylov_tol=1e-8)
     r64 = solve_cme_box(model, 1.0, x0,
                         config=SolverConfig(dtype="float64"), **kw)
     r32 = solve_cme_box(model, 1.0, x0,
                         config=SolverConfig(dtype="float32"), **kw)
-    assert r32.wsum >= 1.0 - 1e-6
+    assert r32.wsum >= 1.0 - 2e-5
     d64 = {tuple(s): p for s, p in zip(r64.states, r64.probabilities)}
     d32 = {tuple(s): p for s, p in zip(r32.states, r32.probabilities)}
     for k in set(d64) | set(d32):
-        assert d32.get(k, 0.0) == pytest.approx(d64.get(k, 0.0), abs=2e-6)
+        assert d32.get(k, 0.0) == pytest.approx(d64.get(k, 0.0), abs=2e-5)
+
+
+def test_f32_tolerance_contract():
+    """The FSP bound is an absolute guarantee (KrylovSolver.f90:442-458):
+    float32 must never silently certify a tolerance it cannot achieve.
+    dtype="auto" falls back to float64 below the f32 floor; explicit
+    dtype="float32" refuses loudly."""
+    from krylovfspssa_tpu.config import resolve_solve_dtype
+
+    cfg_auto = SolverConfig(dtype="auto")
+    cfg_f32 = SolverConfig(dtype="float32")
+    # auto on an accelerator: f32 for achievable tolerances, f64 fallback
+    # below the certifiable floor
+    assert resolve_solve_dtype(cfg_auto, 1e-4, backend="tpu") == "float32"
+    assert resolve_solve_dtype(cfg_auto, 1e-6, backend="tpu") == "float64"
+    # auto on CPU: always f64
+    assert resolve_solve_dtype(cfg_auto, 1e-4, backend="cpu") == "float64"
+    # explicit f32: honored when achievable, refused when not
+    assert resolve_solve_dtype(cfg_f32, 1e-4, backend="tpu") == "float32"
+    with pytest.raises(ValueError, match="float32 certifiable minimum"):
+        resolve_solve_dtype(cfg_f32, 1e-6, backend="tpu")
+    # the threshold scales with the configured floor
+    tight = SolverConfig(dtype="float32", f32_criterion_floor_ulps=4.0)
+    assert resolve_solve_dtype(tight, 1.1e-6, backend="tpu") == "float32"
+    # an end-to-end explicit-f32 solve below the floor refuses loudly
+    model = bursting_gene_model()
+    with pytest.raises(ValueError, match="float32 certifiable minimum"):
+        solve_cme_box(model, 1.0, [[0, 0]], fsp_tol=1e-6,
+                      config=SolverConfig(dtype="float32"))
