@@ -104,13 +104,11 @@ class BoxCmeSolver:
             axis = mesh.axis_names[0]
             self._row = NamedSharding(mesh, PartitionSpec(axis))
             self._rep = NamedSharding(mesh, PartitionSpec())
-            if self.config.use_pallas != "never":
-                # the hand-tiled Pallas kernel is single-device; under a
-                # mesh the XLA stencil partitions via GSPMD instead (the
-                # shard_map + halo-exchange Pallas path is ops/halo.py)
-                self.config = dataclasses.replace(
-                    self.config, use_pallas="never"
-                )
+            # kernel selection under a mesh lives in
+            # ops/stencil.select_stencil_matvec: the halo shard_map path
+            # wraps the v5 Pallas local kernel in float32 (ops/halo.py);
+            # non-halo mesh solves run the GSPMD-partitioned XLA stencil
+            # (a single-device pallas_call cannot be GSPMD-partitioned)
         else:
             self._row = self._rep = None
         if self.config.debug_nans:
@@ -387,7 +385,9 @@ class BoxCmeSolver:
             for _ in range(cfg.init_onestep_expansions):
                 box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
                 dilate = self._functions(box)[2]
-                mask_np = np.asarray(dilate(jnp.asarray(mask_np)))
+                # host_gather, not np.asarray: under a multi-host mesh the
+                # dilated mask spans non-addressable devices
+                mask_np = host_gather(dilate(self._put_row(mask_np)))
             box, mask_np, w_np = self._grow_until_fits(box, mask_np, w_np)
 
             mask = self._put_row(mask_np)
@@ -707,8 +707,8 @@ class BoxCmeSolver:
             from .checkpoint import save_checkpoint
 
             save_checkpoint(
-                path, box, np.asarray(mask),
-                np.asarray(w, dtype=np.float64), jax.device_get(carry),
+                path, box, host_gather(mask),
+                host_gather(w).astype(np.float64), jax.device_get(carry),
                 float(t_out), float(fsptol), float(krytol),
             )
             last[0] = nstep

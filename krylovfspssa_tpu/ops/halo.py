@@ -82,11 +82,21 @@ def _local_field(box, tabs_by_species, const, dtype, row0, local_rows):
 
 
 def make_halo_stencil_matvec(
-    model: Model, box: BoxSpace, mesh, dtype=jnp.float64
+    model: Model, box: BoxSpace, mesh, dtype=jnp.float64,
+    use_pallas: str = "auto", pallas_interpret: bool = False,
 ):
     """Build matvec(mask, x) (global flat arrays, row-sharded) with
     explicit ppermute halo exchange; returns None if the model is not
-    separable or the geometry does not divide over the mesh."""
+    separable or the geometry does not divide over the mesh.
+
+    In float32 on TPU (``use_pallas`` "auto"/"always") the LOCAL compute
+    is the hand-tiled v5 Pallas kernel (streamed diagonal, deep pattern
+    fold) with the shard-edge grid blocks sourcing their halo rows from
+    the exchanged neighbour buffers — multi-chip runs keep the
+    single-chip kernel's speed on the hot loop (VERDICT r2 item 5).
+    The XLA rank-1-field stencil remains the f64 / fallback local
+    compute.  ``pallas_interpret`` forces the Pallas local kernel in
+    interpreter mode (CPU-mesh tests)."""
     tables = _factored_reaction_tables(model, box)
     if tables is None:
         return None
@@ -110,6 +120,66 @@ def make_halo_stencil_matvec(
 
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    # ---- Pallas local kernel (f32 TPU fast path) ------------------------
+    pl_local = None
+    if dtype == jnp.float32 and use_pallas != "never":
+        on_tpu = jax.default_backend() not in ("cpu", "gpu")
+        if pallas_interpret or use_pallas == "always" or on_tpu:
+            from .pallas_stencil import make_pallas_local_matvec_v5
+
+            pl_local = make_pallas_local_matvec_v5(
+                model, box, n_dev, interpret=pallas_interpret
+            )
+    if pl_local is not None:
+        from .stencil import make_diag_fn
+
+        diag_fn = make_diag_fn(model, box, jnp.float64)
+        D = jax.jit(
+            lambda: diag_fn(jnp.ones((vol,), bool)).astype(jnp.float32)
+        )().reshape(vol // LANES, LANES)
+        D_sh = jax.device_put(D, NamedSharding(mesh, P(axis, None)))
+        lead, excess = pl_local._lead, pl_local._excess
+
+        def local_matvec_pl(mask_l, x_l, d_l):
+            idx = jax.lax.axis_index(axis)
+            # supp(x) ⊆ mask is the solver invariant, but this matvec is
+            # also a public API (drop inflow, tests) — mask locally, it is
+            # one fused elementwise pass over the shard
+            xm = jnp.where(mask_l, x_l, 0).astype(jnp.float32)
+            from_left = jax.lax.ppermute(
+                xm[local - lead * LANES :], axis, fwd
+            )
+            from_right = jax.lax.ppermute(xm[: excess * LANES], axis, bwd)
+            from_left = jnp.where(idx > 0, from_left, 0)
+            from_right = jnp.where(idx < n_dev - 1, from_right, 0)
+            row0 = jnp.full((1, 1), idx * local_rows, jnp.int32)
+            y = pl_local(
+                xm.reshape(local_rows, LANES),
+                from_left.reshape(lead, LANES),
+                from_right.reshape(excess, LANES),
+                mask_l.astype(jnp.int8).reshape(local_rows, LANES),
+                d_l,
+                row0,
+            )
+            return y.reshape(local)
+
+        spec = P(axis)
+        # check_vma=False: pallas_call outputs carry no varying-mesh-axes
+        # annotation, which the default vma check rejects
+        mv = jax.shard_map(
+            local_matvec_pl,
+            mesh=mesh,
+            in_specs=(spec, spec, P(axis, None)),
+            out_specs=spec,
+            check_vma=False,
+        )
+
+        def matvec(mask, x):
+            return mv(mask, x, D_sh)
+
+        matvec._pallas_local = True
+        return matvec
 
     def local_matvec(mask_l, x_l):
         idx = jax.lax.axis_index(axis)

@@ -208,6 +208,23 @@ def make_pallas_stencil_matvec(
 PCAP = 128
 
 
+def _choose_block(rows: int, qmin_al: int, qmax: int, block_rows: int):
+    """Largest power-of-two block B <= block_rows satisfying the zero-copy
+    kernel's constraints (B | rows, >= 2 blocks, halo lead/excess within
+    one block, first window within the array).  Returns
+    (B, WR, lead, excess) or None."""
+    b = 1 << (min(block_rows, rows // 2).bit_length() - 1)
+    while b >= 8:
+        if rows % b == 0:
+            wr = _round_up(b + (qmax - qmin_al) + 1, 8)
+            lead = -qmin_al
+            excess = wr - b + qmin_al
+            if lead <= b and excess <= b and wr - lead <= rows:
+                return b, wr, lead, excess
+        b //= 2
+    return None
+
+
 def make_pallas_stencil_matvec_v3(
     model: Model,
     box: BoxSpace,
@@ -620,12 +637,15 @@ def make_pallas_stencil_matvec_v4(
                     sem.at[slot],
                 ).start()
 
-            @pl.when((j > 0) & (j < nb - 1))
-            def _():
-                w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
-                pltpu.make_async_copy(
-                    x_ref.at[pl.ds(w0, WR), :], win.at[slot], sem.at[slot]
-                ).start()
+            if n_blocks > 2:  # middle windows exist (static guard:
+                # at n_blocks == 2 the WR-row slice can exceed the array)
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).start()
 
             @pl.when(j == nb - 1)
             def _():
@@ -650,12 +670,14 @@ def make_pallas_stencil_matvec_v4(
                     sem.at[slot],
                 ).wait()
 
-            @pl.when((j > 0) & (j < nb - 1))
-            def _():
-                w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
-                pltpu.make_async_copy(
-                    x_ref.at[pl.ds(w0, WR), :], win.at[slot], sem.at[slot]
-                ).wait()
+            if n_blocks > 2:
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).wait()
 
             @pl.when(j == nb - 1)
             def _():
@@ -790,6 +812,7 @@ def make_pallas_stencil_matvec_v5(
     block_rows: int = 1024,
     interpret: bool = False,
     pattern_vmem_bytes: int = 4 << 20,
+    _ablate: frozenset = frozenset(),
 ):
     """Fifth-generation stencil kernel: streamed diagonal, deep pattern fold.
 
@@ -840,18 +863,13 @@ def make_pallas_stencil_matvec_v5(
     qmin = min(q + [0])
     qmax = max(q + [0])
 
-    B = min(block_rows, rows_tot)
-    while rows_tot % B:
-        B //= 2
-    B = max(B, 8)
-    n_blocks = rows_tot // B
     qmin_al = (qmin // 8) * 8
     c0 = -qmin_al
-    WR = _round_up(B + (qmax - qmin_al) + 1, 8)
-    lead = -qmin_al
-    excess = WR - B + qmin_al
-    if n_blocks < 2 or lead > B or excess > B or WR - lead > rows_tot:
+    blk = _choose_block(rows_tot, qmin_al, qmax, block_rows)
+    if blk is None:
         return None
+    B, WR, lead, excess = blk
+    n_blocks = rows_tot // B
 
     # ---- deepest pattern fold that fits the VMEM budget ------------------
     def _placement(logp):
@@ -931,12 +949,15 @@ def make_pallas_stencil_matvec_v5(
                     sem.at[slot],
                 ).start()
 
-            @pl.when((j > 0) & (j < nb - 1))
-            def _():
-                w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
-                pltpu.make_async_copy(
-                    x_ref.at[pl.ds(w0, WR), :], win.at[slot], sem.at[slot]
-                ).start()
+            if n_blocks > 2:  # middle windows exist (static guard:
+                # at n_blocks == 2 the WR-row slice can exceed the array)
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).start()
 
             @pl.when(j == nb - 1)
             def _():
@@ -959,12 +980,14 @@ def make_pallas_stencil_matvec_v5(
                     sem.at[slot],
                 ).wait()
 
-            @pl.when((j > 0) & (j < nb - 1))
-            def _():
-                w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
-                pltpu.make_async_copy(
-                    x_ref.at[pl.ds(w0, WR), :], win.at[slot], sem.at[slot]
-                ).wait()
+            if n_blocks > 2:
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).wait()
 
             @pl.when(j == nb - 1)
             def _():
@@ -1030,20 +1053,27 @@ def make_pallas_stencil_matvec_v5(
         center = win[slot, c0 : c0 + B, :]
         acc = -(d_ref[:, :] * center)
 
-        for k in range(R):
+        for k in range(R if "one_term" not in _ablate else 1):
             base = c0 + q[k]
-            if r[k] == 0:
+            if r[k] == 0 or "no_shift" in _ablate:
                 shifted = win[slot, base : base + B, :]
             else:
                 hi = win[slot, base : base + B, r[k] :]
                 lo = win[slot, base + 1 : base + B + 1, : r[k]]
                 shifted = jnp.concatenate([hi, lo], axis=1)
-            term = tile(pu_ref[k]) * shifted
-            for s in placements[k][1]:
-                term = term * row_factor(k, s)
+            if "no_pattern" in _ablate:
+                term = shifted
+            else:
+                term = tile(pu_ref[k]) * shifted
+            if "no_rowfac" not in _ablate:
+                for s in placements[k][1]:
+                    term = term * row_factor(k, s)
             acc = acc + term
 
-        y_ref[:, :] = jnp.where(mc_ref[:, :] != 0, acc, 0.0)
+        if "no_mask" in _ablate:
+            y_ref[:, :] = acc
+        else:
+            y_ref[:, :] = jnp.where(mc_ref[:, :] != 0, acc, 0.0)
 
     call = pl.pallas_call(
         kernel,
@@ -1086,6 +1116,309 @@ def make_pallas_stencil_matvec_v5(
     matvec._placements = placements
     matvec._block_rows = B
     return matvec
+
+
+def make_pallas_local_matvec_v5(
+    model: Model,
+    box: BoxSpace,
+    n_dev: int,
+    block_rows: int = 1024,
+    interpret: bool = False,
+    pattern_vmem_bytes: int = 4 << 20,
+):
+    """Shard-local v5 kernel for the halo-exchange SpMV (ops/halo.py).
+
+    Same streamed-diagonal / deep-pattern compute as
+    :func:`make_pallas_stencil_matvec_v5`, operating on ONE row shard of
+    the global cell axis: the first/last grid blocks source their halo
+    rows from the neighbour-boundary buffers that the ppermute exchange
+    delivered (instead of zero-filling, which is what the single-device
+    kernel's edge clamp does).  Multi-chip runs therefore stop paying the
+    XLA-stencil penalty on the hot loop (VERDICT r2 item 5).
+
+    Returns ``fn(x_l, left, right, mask_l, d_l, row0) -> y_l`` over
+    (rows_l, 128)-shaped locals — ``left``/``right`` are (lead, 128) /
+    (excess, 128) halo buffers, ``row0`` a (1, 1) int32 global row origin
+    — or None when the model/geometry does not qualify.
+    """
+    from ..models.factorize import factorize_model, shifted_factor_table
+    from ..models.expressions import _eval_node
+
+    facts = factorize_model(model)
+    if facts is None:
+        return None
+
+    stoich = np.asarray(box.stoichiometry, dtype=np.int64)
+    R = stoich.shape[0]
+    vol = box.volume
+    if vol % (n_dev * LANES) != 0:
+        return None
+    rows_tot = vol // LANES
+    rows_l = rows_tot // n_dev
+    shifts = [int(sh) for sh in box.shift_of_species]
+    bits = [int(b) for b in box.bits_of_species]
+    exts = [1 << b for b in bits]
+
+    s_off = [-int(o) for o in np.asarray(box.offsets)]
+    q = [so // LANES for so in s_off]
+    r = [so - LANES * qq for so, qq in zip(s_off, q)]
+    qmin = min(q + [0])
+    qmax = max(q + [0])
+
+    qmin_al = (qmin // 8) * 8
+    c0 = -qmin_al
+    blk = _choose_block(rows_l, qmin_al, qmax, block_rows)
+    if blk is None:
+        return None
+    B, WR, lead, excess = blk
+    n_blocks = rows_l // B
+    if lead >= rows_l or excess >= rows_l:
+        return None  # halo taller than a neighbour shard
+    if lead == 0 or excess == 0:
+        return None  # degenerate one-sided stencil: keep the XLA path
+
+    # ---- deepest pattern fold; shard origins must be phase-0 -------------
+    def _placement(logp):
+        placements, pmax = [], 1
+        for k in range(R):
+            relevant = set(facts[k].factors) | {
+                int(s) for s in np.nonzero(stoich[k])[0]
+            }
+            pat, row = [], []
+            for s in sorted(relevant):
+                if shifts[s] + bits[s] <= 7 + logp:
+                    pat.append(s)
+                elif shifts[s] >= 7:
+                    row.append(s)
+                else:
+                    return None, None
+                if s in pat:
+                    pmax = max(pmax, 1 << max(0, shifts[s] + bits[s] - 7))
+            placements.append((pat, row))
+        return placements, pmax
+
+    chosen = None
+    for logp in range(int(np.log2(B)), -1, -1):
+        placements, Pmax = _placement(logp)
+        if placements is None or Pmax > B or rows_l % Pmax:
+            continue
+        if R * Pmax * LANES * 4 <= pattern_vmem_bytes:
+            chosen = (placements, Pmax)
+            break
+    if chosen is None:
+        return None
+    placements, Pmax = chosen
+
+    pgrid = np.arange(Pmax)[:, None] * LANES + np.arange(LANES)[None, :]
+    patU = np.zeros((R, Pmax, LANES), dtype=np.float64)
+    for k, (pat, _row) in enumerate(placements):
+        u = np.full((Pmax, LANES), facts[k].const, dtype=np.float64)
+        for s in pat:
+            cs = (pgrid >> shifts[s]) & (exts[s] - 1)
+            u *= shifted_factor_table(
+                facts[k], s, exts[s], int(stoich[k, s]), model
+            )[cs]
+        patU[k] = u
+    patU_f32 = jnp.asarray(patU, jnp.float32)
+
+    params_env = {
+        name: float(v)
+        for name, v in zip(
+            model.parameter_names, np.asarray(model.parameters)
+        )
+    }
+    names = list(model.species_names)
+
+    def kernel(row0_ref, x_ref, l_ref, rr_ref, mc_ref, d_ref, pu_ref,
+               y_ref, win, sem):
+        i = pl.program_id(0).astype(jnp.int32)
+        nb = pl.num_programs(0)
+
+        def start_dma(j, slot):
+            @pl.when(j == 0)
+            def _():
+                if lead:
+                    pltpu.make_async_copy(
+                        l_ref, win.at[slot, pl.ds(0, lead), :], sem.at[slot]
+                    ).start()
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).start()
+
+            if n_blocks > 2:  # middle windows exist (static guard:
+                # at n_blocks == 2 the WR-row slice can exceed the array)
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).start()
+
+            @pl.when(j == nb - 1)
+            def _():
+                if excess:
+                    pltpu.make_async_copy(
+                        rr_ref, win.at[slot, pl.ds(WR - excess, excess), :],
+                        sem.at[slot],
+                    ).start()
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_l - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).start()
+
+        def wait_dma(j, slot):
+            # semaphore waits must mirror the byte counts started for j
+            @pl.when(j == 0)
+            def _():
+                if lead:
+                    pltpu.make_async_copy(
+                        l_ref, win.at[slot, pl.ds(0, lead), :], sem.at[slot]
+                    ).wait()
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).wait()
+
+            if n_blocks > 2:
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).wait()
+
+            @pl.when(j == nb - 1)
+            def _():
+                if excess:
+                    pltpu.make_async_copy(
+                        rr_ref, win.at[slot, pl.ds(WR - excess, excess), :],
+                        sem.at[slot],
+                    ).wait()
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_l - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).wait()
+
+        @pl.when(i == 0)
+        def _():
+            start_dma(jnp.int32(0), jnp.int32(0))
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nslot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i + 1 < nb)
+        def _():
+            start_dma(i + jnp.int32(1), nslot)
+
+        wait_dma(i, slot)
+
+        rowid = (
+            jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+            + i * jnp.int32(B)
+            + row0_ref[0, 0]
+        )
+        coord_cache: dict = {}
+        fac_cache: dict = {}
+
+        def row_coord(s):
+            if s not in coord_cache:
+                coord_cache[s] = (
+                    rowid >> jnp.int32(shifts[s] - 7)
+                ) & jnp.int32(exts[s] - 1)
+            return coord_cache[s]
+
+        def row_factor(k, s):
+            nu = int(stoich[k, s])
+            node = facts[k].factors.get(s)
+            key = (id(node), s, nu)
+            if key in fac_cache:
+                return fac_cache[key]
+            c = row_coord(s)
+            src = c - jnp.int32(nu) if nu else c
+            if node is None:
+                val = jnp.ones((B, 1), jnp.float32)
+            else:
+                env = dict(params_env)
+                env[names[s]] = src.astype(jnp.float32)
+                val = jnp.asarray(_eval_node(node, env), jnp.float32)
+                val = jnp.broadcast_to(val, (B, 1))
+            if nu:
+                ok = (src >= 0) & (src < jnp.int32(exts[s]))
+                val = jnp.where(ok, val, 0.0)
+            fac_cache[key] = val
+            return val
+
+        def tile(pat2d):
+            return jnp.broadcast_to(
+                pat2d[None], (B // Pmax, Pmax, LANES)
+            ).reshape(B, LANES)
+
+        center = win[slot, c0 : c0 + B, :]
+        acc = -(d_ref[:, :] * center)
+
+        for k in range(R):
+            base = c0 + q[k]
+            if r[k] == 0:
+                shifted = win[slot, base : base + B, :]
+            else:
+                hi = win[slot, base : base + B, r[k] :]
+                lo = win[slot, base + 1 : base + B + 1, : r[k]]
+                shifted = jnp.concatenate([hi, lo], axis=1)
+            term = tile(pu_ref[k]) * shifted
+            for s in placements[k][1]:
+                term = term * row_factor(k, s)
+            acc = acc + term
+
+        y_ref[:, :] = jnp.where(mc_ref[:, :] != 0, acc, 0.0)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (R, Pmax, LANES),
+                lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_l, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, WR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+
+    def local_matvec(x_l, left, right, mask_l, d_l, row0):
+        y = call(row0, x_l, left, right, mask_l, d_l, patU_f32)
+        return y
+
+    local_matvec._lead = lead
+    local_matvec._excess = excess
+    local_matvec._pmax = Pmax
+    return local_matvec
 
 
 def make_pallas_stencil_matvec_v2(

@@ -274,13 +274,20 @@ def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype,
     geometry qualifies; the XLA stencil otherwise).  With ``mesh`` set,
     prefer the explicit ppermute halo-exchange shard_map path (ops/halo.py)
     when the model/geometry qualify."""
-    if mesh is not None and getattr(config, "use_halo", True):
-        from .halo import make_halo_stencil_matvec
-
-        mv = make_halo_stencil_matvec(model, box, mesh, dtype)
-        if mv is not None:
-            return mv
     use = getattr(config, "use_pallas", "auto")
+    if mesh is not None:
+        if getattr(config, "use_halo", True):
+            from .halo import make_halo_stencil_matvec
+
+            mv = make_halo_stencil_matvec(
+                model, box, mesh, dtype, use_pallas=use
+            )
+            if mv is not None:
+                return mv
+        # GSPMD fallback: a single-device pallas_call cannot be
+        # partitioned by GSPMD, so mesh solves without the halo path run
+        # the XLA stencil
+        return make_stencil_matvec(model, box, dtype)
     if use != "never" and dtype == jnp.float32:
         from .pallas_stencil import (
             make_pallas_stencil_matvec_v2,

@@ -52,11 +52,17 @@ def initialize(
     everything from the metadata server and no variables are needed.
     Returns True if a multi-process runtime is active afterwards.
     """
+    explicit = coordinator_address is not None
     coordinator_address = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS"
     )
-    if jax.process_count() > 1:
-        return True  # already initialized (e.g. by the launcher)
+    # already-initialized check WITHOUT touching the XLA backend:
+    # jax.process_count() would initialize it and make a subsequent
+    # jax.distributed.initialize impossible
+    from jax._src import distributed as _dist
+
+    if getattr(_dist.global_state, "client", None) is not None:
+        return jax.process_count() > 1  # launcher already initialized
     try:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,
@@ -64,6 +70,8 @@ def initialize(
             process_id=process_id,
         )
     except (ValueError, RuntimeError):
+        if explicit:
+            raise  # a configured launch must not silently degrade
         # single host with no coordinator configured: run single-process
         return False
     return jax.process_count() > 1

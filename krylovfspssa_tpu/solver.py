@@ -78,11 +78,32 @@ class SolveResult:
 
 
 class CmeSolver:
-    """Reusable solver bound to one model (jit caches persist across solves)."""
+    """Reusable solver bound to one model (jit caches persist across solves).
 
-    def __init__(self, model: Model, config: SolverConfig | None = None):
+    Pass ``mesh`` (a 1-D ``jax.sharding.Mesh``) to run the ENTIRE solve
+    with the state-row axis partitioned across devices: the gather-ELL
+    operator, probability vector, and Krylov basis shard by rows; drop
+    compaction, SSA/1-step expansion, and capacity growth keep their host
+    orchestration (the table mutation is host-side by design) but every
+    rebuilt device array lands back on the mesh.  This is the sharded
+    end-to-end path for the reference's own sparse format
+    (/root/reference/src/state_space/StateSpace.f90:13-17), covering
+    non-separable models the box/halo path cannot take."""
+
+    def __init__(
+        self, model: Model, config: SolverConfig | None = None, mesh=None
+    ):
         self.model = model
         self.config = config or SolverConfig()
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            axis = mesh.axis_names[0]
+            self._row = NamedSharding(mesh, PartitionSpec(axis))
+            self._rep = NamedSharding(mesh, PartitionSpec())
+        else:
+            self._row = self._rep = None
         if self.config.debug_nans:
             jax.config.update("jax_debug_nans", True)
         self.encoder = StateEncoder.for_model(
@@ -96,7 +117,18 @@ class CmeSolver:
         self._props_fn = props_fn
         self._dtype = None
         self._set_dtype(self.config.resolved_dtype())
-        self._matvec = jax.jit(spmv)
+        if mesh is None:
+            self._matvec = jax.jit(spmv)
+        else:
+            from .parallel.sharded import sharded_matvec
+
+            self._matvec = sharded_matvec(mesh)
+
+    def _put_row(self, arr, dtype=None):
+        a = jnp.asarray(arr) if dtype is None else jnp.asarray(arr, dtype)
+        if self._row is not None:
+            return jax.device_put(a, self._row)
+        return a
 
     def _set_dtype(self, name: str):
         """(Re-)resolve the solve dtype (the f32 tolerance contract may
@@ -109,14 +141,20 @@ class CmeSolver:
         stoich = self._stoich
         props_fn = self._props_fn
 
-        @jax.jit
         def build_op(states, sorted_keys, sorted_to_row, n):
             return build_operator(
                 states, sorted_keys, sorted_to_row, n,
                 props_fn, stoich, enc, dt,
             )
 
-        self._build_op = build_op
+        if self.mesh is None:
+            self._build_op = jax.jit(build_op)
+        else:
+            from .parallel.sharded import operator_shardings
+
+            self._build_op = jax.jit(
+                build_op, out_shardings=operator_shardings(self.mesh)
+            )
         self._steps: dict = {}
 
     def _step(self, op, w, *args):
@@ -133,9 +171,39 @@ class CmeSolver:
                 cfg if m_eff == cfg.m_max
                 else dataclasses.replace(cfg, m_max=m_eff)
             )
-            self._steps[m_eff] = jax.jit(
-                make_step_fn(lambda op: (lambda x: spmv(op, x)), cfg_eff)
-            )
+            step = make_step_fn(lambda op: (lambda x: spmv(op, x)), cfg_eff)
+            if self.mesh is None:
+                self._steps[m_eff] = jax.jit(step)
+            else:
+                from .krylov.stepper import StepResult, initial_carry
+                from .parallel.sharded import operator_shardings
+
+                carry_rep = jax.tree.map(
+                    lambda _: self._rep, initial_carry(1.0, 1.0, 1e-8, 1.0, 10)
+                )
+                self._steps[m_eff] = jax.jit(
+                    step,
+                    in_shardings=(
+                        operator_shardings(self.mesh),
+                        self._row,
+                        carry_rep,
+                        self._rep,
+                        self._rep,
+                        self._rep,
+                    ),
+                    out_shardings=StepResult(
+                        w=self._row,
+                        carry=carry_rep,
+                        advanced=self._rep,
+                        iexpand=self._rep,
+                        t_ssa=self._rep,
+                        dsum=self._rep,
+                        wsum=self._rep,
+                        t_step=self._rep,
+                        m_used=self._rep,
+                        err_loc=self._rep,
+                    ),
+                )
         return self._steps[m_eff](op, w, *args)
 
     # ------------------------------------------------------------------ #
@@ -189,7 +257,7 @@ class CmeSolver:
                 states_ck, self.encoder, cfg.init_capacity, cfg.max_states
             )
             w_np = _repad(w_ck, table.capacity)
-            w = jnp.asarray(w_np, dtype=self._dtype)
+            w = self._put_row(w_np, self._dtype)
             op = self._operator(table)
             rng = jnp.asarray(rng_state)
         else:
@@ -213,7 +281,7 @@ class CmeSolver:
             for _ in range(cfg.init_onestep_expansions):
                 table, _ = onestep_extend(table, self._stoich, cfg.max_states)
             w_np = _repad(w_np, table.capacity)
-            w = jnp.asarray(w_np, dtype=self._dtype)
+            w = self._put_row(w_np, self._dtype)
 
             op = self._operator(table)
 
@@ -296,7 +364,7 @@ class CmeSolver:
                     w_kept = np.asarray(w)[: table.n][keep]
                     table, _ = table.compact(keep)
                     w_np = _repad(w_kept, table.capacity)
-                    w = jnp.asarray(w_np, dtype=self._dtype)
+                    w = self._put_row(w_np, self._dtype)
                     op = self._operator(table)
                     dropped = count
                     stats.n_drops += 1
@@ -323,7 +391,7 @@ class CmeSolver:
                 table, _ = onestep_extend(table, self._stoich, cfg.max_states)
                 if table.n != n_before or table.capacity != len(w_np):
                     w_np = _repad(np.asarray(w)[: min(len(np.asarray(w)), table.capacity)], table.capacity)
-                    w = jnp.asarray(w_np, dtype=self._dtype)
+                    w = self._put_row(w_np, self._dtype)
                     op = self._operator(table)
                 stats.n_expansions += 1
 
@@ -388,9 +456,10 @@ def solve_cme(
     krylov_tol: float = 1e-10,
     config: SolverConfig | None = None,
     verbosity: int = 0,
+    mesh=None,
 ) -> SolveResult:
     """One-shot convenience wrapper (CME_SOLVE parity)."""
-    solver = CmeSolver(model, config)
+    solver = CmeSolver(model, config, mesh=mesh)
     return solver.solve(
         t, initial_states, p0, fsp_tol, krylov_tol, verbosity=verbosity
     )

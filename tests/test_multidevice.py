@@ -260,3 +260,62 @@ def test_cli_devices_flag(capsys):
     out = capsys.readouterr().out
     rec = _json.loads(out.strip().splitlines()[-1])
     assert rec["wsum"] >= 1.0 - 1e-4
+
+
+def test_halo_pallas_local_matches_single():
+    """The halo-exchange SpMV with the v5 Pallas LOCAL kernel (interpret
+    mode) matches the single-device XLA stencil — VERDICT r2 item 5: the
+    sharded path must not pay the XLA-stencil penalty on TPU.  Float32
+    compare (the Pallas kernels are f32-only)."""
+    from krylovfspssa_tpu.boxspace.box import BoxSpace
+    from krylovfspssa_tpu.models.library import goutsias_model
+    from krylovfspssa_tpu.ops.halo import make_halo_stencil_matvec
+    from krylovfspssa_tpu.ops.stencil import make_stencil_matvec
+
+    model = goutsias_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[2, 6, 0, 2, 0, 0]])
+    for s, tgt in enumerate([32, 16, 8, 4, 4, 4]):
+        while box.extents[s] < tgt:
+            box = box.grow(s)
+    mesh = make_mesh(8)
+    mv = make_halo_stencil_matvec(
+        model, box, mesh, jnp.float32, use_pallas="always",
+        pallas_interpret=True,
+    )
+    assert mv is not None and getattr(mv, "_pallas_local", False), (
+        "the goutsias box must qualify for the Pallas halo local kernel"
+    )
+    rng = np.random.default_rng(23)
+    mask = jnp.asarray(rng.random(box.volume) < 0.7)
+    x = jnp.asarray(rng.random(box.volume), jnp.float32)
+    ref = np.asarray(
+        make_stencil_matvec(model, box, jnp.float32)(mask, x)
+    )
+    got = jax.jit(mv)(mask, x)
+    shard_devs = {s.device for s in got.addressable_shards}
+    assert len(shard_devs) == 8
+    scale = float(np.max(np.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(got), ref, atol=2e-6 * scale
+    )
+
+
+def test_table_full_solve_shard_invariance():
+    """End-to-end TABLE-backend solve (gather-ELL operator, the
+    reference's own sparse format, StateSpace.f90:13-17) row-partitioned
+    over 8 devices: drop compaction, SSA/1-step expansion, and capacity
+    growth all execute under the mesh (VERDICT r2 item 6).  Contract:
+    solution-level agreement (see the stepwise box test above for why
+    trajectory identity is not assertable under reduction resharding)."""
+    from krylovfspssa_tpu.solver import solve_cme
+
+    model = bursting_gene_model()
+    kw = dict(fsp_tol=1e-4, krylov_tol=1e-8)
+    r1 = solve_cme(model, 10.0, [[0, 0]], **kw)
+    r8 = solve_cme(model, 10.0, [[0, 0]], mesh=make_mesh(8), **kw)
+    assert r8.wsum >= 1.0 - 1e-4
+    assert r8.wsum == pytest.approx(r1.wsum, abs=1e-6)
+    d1 = {tuple(s): p for s, p in zip(r1.states, r1.probabilities)}
+    d8 = {tuple(s): p for s, p in zip(r8.states, r8.probabilities)}
+    for k in set(d1) | set(d8):
+        assert d8.get(k, 0.0) == pytest.approx(d1.get(k, 0.0), abs=1e-6)
