@@ -625,13 +625,18 @@ class BoxCmeSolver:
                 # overlap the next geometries' compiles with stepping
                 self._warm_cache_async(box)
                 last_box = box
+            seg0 = time.perf_counter()
             st = adv(w, mask, carry, t_out, fsptol_j, krytol_j)
             w, mask, carry = st.w, st.mask, st.carry
             stats.n_drops += int(st.n_drops)
             stats.n_expansions += int(st.n_expansions)
             nsteps = int(st.steps)
             total_steps += nsteps
-            recs = np.asarray(st.records)[:nsteps]
+            recs = np.asarray(st.records)[:nsteps]  # forces device sync
+            # per-step wall inside a fused device segment is not observable;
+            # record the amortized segment wall so timing observability does
+            # not silently vanish on the production path
+            seg_wall = (time.perf_counter() - seg0) / max(nsteps, 1)
             for row in recs:
                 rec = StepRecord(
                     nstep=int(row[0]),
@@ -645,6 +650,7 @@ class BoxCmeSolver:
                     advanced=bool(row[8]),
                     expanded=bool(row[9]),
                     dropped=int(row[10]),
+                    wall_s=seg_wall,
                 )
                 stats.records.append(rec)
                 if verbosity:

@@ -932,6 +932,20 @@ def make_pallas_stencil_matvec_v5(
     }
     names = list(model.species_names)
 
+    # reactions sharing one lane roll r with nearby row offsets share ONE
+    # rolled strip (one lane-misaligned concat instead of one per reaction;
+    # e.g. the Goutsias M birth/death pair both roll by 64)
+    _byr: dict = {}
+    for k in range(R):
+        if r[k]:
+            _byr.setdefault(r[k], []).append(k)
+    roll_groups = {
+        rr: (min(q[k] for k in ks), max(q[k] for k in ks))
+        for rr, ks in _byr.items()
+        if len(ks) >= 2
+        and max(q[k] for k in ks) - min(q[k] for k in ks) <= 8
+    }
+
     def kernel(x_ref, mc_ref, d_ref, pu_ref, y_ref, win, sem):
         i = pl.program_id(0).astype(jnp.int32)
         nb = pl.num_programs(0)
@@ -1053,10 +1067,24 @@ def make_pallas_stencil_matvec_v5(
         center = win[slot, c0 : c0 + B, :]
         acc = -(d_ref[:, :] * center)
 
+        rolled = {}
+        if "no_shift" not in _ablate and "no_grouproll" not in _ablate:
+            for rr, (qlo, qhi) in roll_groups.items():
+                g0 = c0 + qlo
+                srows = B + (qhi - qlo)
+                hi = win[slot, g0 : g0 + srows, rr:]
+                lo = win[slot, g0 + 1 : g0 + srows + 1, :rr]
+                rolled[rr] = (
+                    jnp.concatenate([hi, lo], axis=1), qlo
+                )
+
         for k in range(R if "one_term" not in _ablate else 1):
             base = c0 + q[k]
             if r[k] == 0 or "no_shift" in _ablate:
                 shifted = win[slot, base : base + B, :]
+            elif r[k] in rolled:
+                strip, qlo = rolled[r[k]]
+                shifted = strip[q[k] - qlo : q[k] - qlo + B, :]
             else:
                 hi = win[slot, base : base + B, r[k] :]
                 lo = win[slot, base + 1 : base + B + 1, : r[k]]
@@ -1229,6 +1257,18 @@ def make_pallas_local_matvec_v5(
     }
     names = list(model.species_names)
 
+    # shared rolled strips (see make_pallas_stencil_matvec_v5)
+    _byr: dict = {}
+    for k in range(R):
+        if r[k]:
+            _byr.setdefault(r[k], []).append(k)
+    roll_groups = {
+        rr: (min(q[k] for k in ks), max(q[k] for k in ks))
+        for rr, ks in _byr.items()
+        if len(ks) >= 2
+        and max(q[k] for k in ks) - min(q[k] for k in ks) <= 8
+    }
+
     def kernel(row0_ref, x_ref, l_ref, rr_ref, mc_ref, d_ref, pu_ref,
                y_ref, win, sem):
         i = pl.program_id(0).astype(jnp.int32)
@@ -1363,10 +1403,21 @@ def make_pallas_local_matvec_v5(
         center = win[slot, c0 : c0 + B, :]
         acc = -(d_ref[:, :] * center)
 
+        rolled = {}
+        for rr, (qlo, qhi) in roll_groups.items():
+            g0 = c0 + qlo
+            srows = B + (qhi - qlo)
+            hi = win[slot, g0 : g0 + srows, rr:]
+            lo = win[slot, g0 + 1 : g0 + srows + 1, :rr]
+            rolled[rr] = (jnp.concatenate([hi, lo], axis=1), qlo)
+
         for k in range(R):
             base = c0 + q[k]
             if r[k] == 0:
                 shifted = win[slot, base : base + B, :]
+            elif r[k] in rolled:
+                strip, qlo = rolled[r[k]]
+                shifted = strip[q[k] - qlo : q[k] - qlo + B, :]
             else:
                 hi = win[slot, base : base + B, r[k] :]
                 lo = win[slot, base + 1 : base + B + 1, : r[k]]

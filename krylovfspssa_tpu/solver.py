@@ -389,9 +389,18 @@ class CmeSolver:
                     cfg.max_states,
                 )
                 table, _ = onestep_extend(table, self._stoich, cfg.max_states)
-                if table.n != n_before or table.capacity != len(w_np):
-                    w_np = _repad(np.asarray(w)[: min(len(np.asarray(w)), table.capacity)], table.capacity)
+                if table.capacity != len(w_np):
+                    # capacity bucket grew: re-pad (the only case that
+                    # needs a D2H round-trip; new states carry probability
+                    # zero, which the existing padding already encodes)
+                    w_np = _repad(
+                        np.asarray(w)[: min(len(np.asarray(w)),
+                                            table.capacity)],
+                        table.capacity,
+                    )
                     w = self._put_row(w_np, self._dtype)
+                    op = self._operator(table)
+                elif table.n != n_before:
                     op = self._operator(table)
                 stats.n_expansions += 1
 
