@@ -35,10 +35,31 @@ _jax.config.update("jax_enable_x64", True)
 # takes precedence if the user set it).
 if not _os.environ.get("KFS_NO_COMPILE_CACHE"):
     if "JAX_COMPILATION_CACHE_DIR" not in _os.environ:
+        # default dir is keyed per host CPU: XLA:CPU AOT entries embed the
+        # compile machine's feature set, and loading them on a different
+        # host logs feature-mismatch errors and risks SIGILL
+        def _host_tag():
+            import hashlib
+            import platform as _pf
+
+            tag = _pf.machine()
+            try:
+                with open("/proc/cpuinfo") as fh:
+                    for line in fh:
+                        if line.startswith("flags"):
+                            tag += hashlib.sha1(
+                                line.encode()
+                            ).hexdigest()[:8]
+                            break
+            except OSError:
+                pass
+            return tag
+
         _cache_dir = _os.environ.get(
             "KFS_COMPILE_CACHE_DIR",
             _os.path.join(
-                _os.path.expanduser("~"), ".cache", "kfs_jax_cache"
+                _os.path.expanduser("~"), ".cache",
+                f"kfs_jax_cache_{_host_tag()}",
             ),
         )
         try:

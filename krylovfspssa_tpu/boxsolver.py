@@ -198,14 +198,33 @@ class BoxCmeSolver:
 
     # ---------------------------------------------------------------- #
 
+    def _device_bytes_limit(self) -> int | None:
+        """Reported per-device memory budget (None when the backend has
+        no memory_stats — e.g. CPU, some plugin backends)."""
+        if not hasattr(self, "_dev_limit"):
+            limit = None
+            try:
+                st = jax.local_devices()[0].memory_stats()
+                if st:
+                    limit = int(st.get("bytes_limit", 0)) or None
+            except Exception:  # noqa: BLE001
+                limit = None
+            self._dev_limit = limit
+        return self._dev_limit
+
     def _geometry_config(self, box: BoxSpace) -> SolverConfig:
         """Per-geometry config: m_max clamped so the Krylov basis
-        ((m_max+2) box-volume vectors) fits config.max_basis_bytes."""
+        ((m_max+2) box-volume vectors) fits config.max_basis_bytes (and
+        config.max_basis_frac of the device memory when reported)."""
         cfg = self.config
         if cfg.max_basis_bytes <= 0:
             return cfg
+        budget = cfg.max_basis_bytes
+        limit = self._device_bytes_limit()
+        if limit:
+            budget = min(budget, int(cfg.max_basis_frac * limit))
         itemsize = jnp.dtype(self._dtype).itemsize
-        mh = int(cfg.max_basis_bytes // (box.volume * itemsize))
+        mh = int(budget // (box.volume * itemsize))
         m_eff = min(cfg.m_max, max(cfg.m_min, mh - 2))
         if m_eff == cfg.m_max:
             return cfg
@@ -618,6 +637,7 @@ class BoxCmeSolver:
 
         total_steps = 0
         last_box = None
+        stalled_grows = 0
         while True:
             growable = self._growable(box)
             adv = self._advance(box, growable)
@@ -673,6 +693,22 @@ class BoxCmeSolver:
                     f"exceeded {hard_cap} attempted steps (IFLAG=1 analog)"
                 )
             if event == EVENT_GROW:
+                # no-progress guard: growth events that accept no step can
+                # only help when the FSP budget failure is truncation loss;
+                # if integration has started (nstep >= 1) and growth keeps
+                # accepting nothing, the criterion is unattainable (e.g. an
+                # f32 budget exhausted by noise) — fail loudly instead of
+                # growing to the volume cap
+                stalled_grows = stalled_grows + 1 if nsteps == 0 else 0
+                if stalled_grows >= 16 and int(carry.nstep) >= 1:
+                    raise RuntimeError(
+                        f"{stalled_grows} consecutive state-space growths "
+                        "without an accepted step at t="
+                        f"{float(carry.t_now):g}; the requested fsp_tol is "
+                        "likely unattainable at this precision — use "
+                        "dtype='float64' or loosen fsp_tol (FSP criterion, "
+                        "KrylovSolver.f90:442-495)"
+                    )
                 mask_np = host_gather(mask)
                 w_np = host_gather(w).astype(np.float64)
                 new_box, mask_np, w_np = self._grow_until_fits(

@@ -117,8 +117,17 @@ class SolverConfig:
     #: to fit (the Niesen-Wright adaptivity simply works under the lower
     #: cap).  Without it, a float64 solve on a 2^23-cell box allocates
     #: 102 * 8M * 8B = 6.8 GB for V alone and OOM-crashes a 16 GB chip
-    #: inside the fused loop.  0 disables the clamp.
-    max_basis_bytes: int = 4 << 30
+    #: inside the fused loop.  0 disables the clamp.  The round-2 default
+    #: (4 GiB) still crashed the TPU worker on the Goutsias t=300 float64
+    #: run once the box grew to 2^23 cells (basis + loop temporaries +
+    #: stencil windows exceed the worker's budget well before V alone
+    #: does), hence 2 GiB; ``max_basis_frac`` additionally bounds the
+    #: basis to a fraction of the device's reported memory when the
+    #: backend exposes ``memory_stats``.
+    max_basis_bytes: int = 2 << 30
+    #: cap the basis at this fraction of the device's ``bytes_limit``
+    #: (ignored when the backend reports no memory stats)
+    max_basis_frac: float = 0.2
 
     # ---- numerics -------------------------------------------------------
     #: probability vector / Krylov basis dtype: "float64", "float32", or

@@ -556,6 +556,24 @@ def make_step_fn(
         row_in = jnp.arange(MH) < mx
         Hbar = a.H.astype(jnp.float64).at[a.m + 1, a.m].set(1.0)
 
+        if crit_floor:
+            # float64 column sums of the basis: the criterion mass
+            # beta * (colsum . E[:,0]) is then measured entirely in f64,
+            # so the FSP budget never sees the f32 w-assembly rounding
+            # noise.  (Previously that noise entered `spent` directly;
+            # being ~1e-7/step against a per-step budget increment of
+            # ~fsp_tol*tau/t_out it could random-walk spent into the
+            # ceiling, where the abandon->expand loop deadlocks — SSA
+            # expansion cannot refund noise — and the box grows without
+            # bound.  Observed on TPU: toggle t=1000 fsp_tol 2e-5 grew a
+            # 190-state problem past max_box_volume.)
+            def _csum(j, cs):
+                return cs.at[j].set(jnp.sum(a.V[j], dtype=jnp.float64))
+
+            colsum = jax.lax.fori_loop(
+                0, mx, _csum, jnp.zeros((MH,), jnp.float64)
+            )
+
         def assemble_w(E):
             # w = beta * V @ E[:,0] (KrylovSolver.f90:444) as a bounded AXPY
             # loop: a dot_general here materializes an (emulation x MH x n)
@@ -589,18 +607,23 @@ def make_step_fn(
             nscale: jnp.ndarray
 
         def fsp_check(fc: FC) -> FC:
-            w_c = assemble_w(fc.E)
-            # mass criterion always accumulates in float64
-            wsum = jnp.sum(w_c.astype(jnp.float64))
             if crit_floor:
-                # f32: cumulative measured loss vs the reference bound —
-                # identical to the absolute criterion in exact arithmetic
-                # (spent + loss = 1 - wsum), but drift-free
+                # f32: mass from the f64 basis column sums (no assembly,
+                # no assembly noise); cumulative measured loss vs the
+                # reference bound — identical to the absolute criterion
+                # in exact arithmetic (spent + loss = 1 - wsum), but
+                # drift-free.  w is assembled once after the loop.
+                wsum = beta * jnp.sum(
+                    jnp.where(row_in, fc.E[:, 0], 0.0) * colsum
+                )
                 ok = (sc.spent + (wsum_start - wsum)) <= (
                     bound(sc.t_now + fc.t_step) + crit_floor
                 )
-            else:
-                ok = wsum >= (1.0 - bound(sc.t_now + fc.t_step))
+                return fc._replace(wsum=wsum, ok=ok)
+            w_c = assemble_w(fc.E)
+            # mass criterion always accumulates in float64
+            wsum = jnp.sum(w_c.astype(jnp.float64))
+            ok = wsum >= (1.0 - bound(sc.t_now + fc.t_step))
             return fc._replace(w=w_c, wsum=wsum, ok=ok)
 
         def fsp_body(fc: FC) -> FC:
@@ -669,6 +692,9 @@ def make_step_fn(
         # even though it also hit the rejection cap (the reference would
         # accept that same tau on the post-expansion retry anyway)
         fc = fc._replace(abandon=fc.abandon & ~fc.ok)
+        if crit_floor:
+            # assemble the accepted (or last-attempted) vector once
+            fc = fc._replace(w=assemble_w(fc.E))
 
         iexpand = ((fc.irejectfsp > 0) | fc.abandon) & (~fail)
 
@@ -701,8 +727,11 @@ def make_step_fn(
             # 1 - spent keeps the reference semantic (mass = 1 minus
             # cumulative certified loss) without the drift.
             target = 1.0 - spent_new
+            # pin against the ACTUAL assembled mass (fc.wsum is the f64
+            # colsum estimate, which excludes assembly rounding)
+            actual = jnp.sum(w_final, dtype=jnp.float64)
             scale = jnp.where(
-                advanced & (fc.wsum > 0.0), target / fc.wsum, 1.0
+                advanced & (actual > 0.0), target / actual, 1.0
             )
             w_final = w_final * scale.astype(f)
             wsum_new = jnp.where(advanced, target, sc.wsum_old)
