@@ -692,6 +692,11 @@ class BoxCmeSolver:
                 raise RuntimeError(
                     f"exceeded {hard_cap} attempted steps (IFLAG=1 analog)"
                 )
+            # any accepted progress clears the stall counter, regardless of
+            # which event ended the segment (a BUDGET segment with steps
+            # between two zero-step GROWs is real progress)
+            if nsteps > 0:
+                stalled_grows = 0
             if event == EVENT_GROW:
                 # no-progress guard: growth events that accept no step can
                 # only help when the FSP budget failure is truncation loss;

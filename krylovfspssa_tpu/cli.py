@@ -22,7 +22,7 @@ import numpy as np
 
 
 def _load(spec: str, params: list[float] | None):
-    from .models.library import LIBRARY, get_model
+    from .models.library import DRIVER_PARAMETERS, LIBRARY, get_model
     from .models.model import load_model
 
     if spec in LIBRARY:
@@ -35,6 +35,16 @@ def _load(spec: str, params: list[float] | None):
                 f"({sorted(LIBRARY)}) nor a file"
             )
         model = load_model(path)
+        if params is None and path.stem in DRIVER_PARAMETERS:
+            # the .input format carries parameter names only; apply the
+            # values the reference driver resets this model to (e.g.
+            # TestSolverFromFile.f90:31) so `kfs solve models/x.input`
+            # solves the same CME as the corresponding driver program
+            params = DRIVER_PARAMETERS[path.stem]
+            print(
+                f"kfs: using reference-driver parameters for {path.stem}: "
+                f"{params} (override with --params)"
+            )
     if params is not None:
         model.reset_parameters(params)
     return model
@@ -95,14 +105,12 @@ def cmd_solve(args) -> int:
             kwargs["resume_from"] = args.resume
     else:
         solve = solve_cme
-        if args.checkpoint or args.resume:
-            raise SystemExit(
-                "kfs: checkpoint/resume is a box-backend feature"
-            )
-        if mesh is not None:
-            raise SystemExit(
-                "kfs: --devices/--multihost needs the box backend"
-            )
+        kwargs["mesh"] = mesh
+        if args.checkpoint:
+            kwargs["checkpoint_path"] = args.checkpoint
+            kwargs["checkpoint_every"] = args.checkpoint_every
+        if args.resume:
+            kwargs["resume_from"] = args.resume
 
     import contextlib
 

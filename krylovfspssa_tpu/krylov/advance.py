@@ -45,6 +45,9 @@ EVENT_BUDGET = 3
 #: solver failure surfaced from the stepper (carry.iflag != 0, e.g. the
 #: mxreject rejection budget was exhausted — KrylovSolver.f90:392-397)
 EVENT_FAIL = 4
+#: table backend: the stepper requested SSA expansion — a host-side state
+#: table mutation (SSA_EXTENDER + ONESTEP_EXTENDER + operator rebuild)
+EVENT_EXPAND = 5
 
 #: per-step record fields in the device ring buffer
 RECORD_FIELDS = (
@@ -88,6 +91,210 @@ def _touch_flags(box: BoxSpace, mask, growable: tuple[int, ...]):
         sl[ax] = slice(ext - reach, ext)
         out = out | jnp.any(m[tuple(sl)])
     return out
+
+
+class TableAdvanceState(NamedTuple):
+    """Fused-loop state for the gather-ELL table backend.
+
+    ``active`` is the soft-drop row mask: DROP_STATES runs inline on device
+    by deactivating rows (zero w, mask the matvec output) instead of
+    compacting the host table; the host compacts lazily at the next
+    expansion event.  The last attempted step's outcome fields are carried
+    out so the host can replay its drop/expand decisions exactly as in the
+    non-fused path."""
+
+    w: jnp.ndarray
+    active: jnp.ndarray  # (cap,) bool soft-drop row mask
+    carry: StepCarry
+    event: jnp.ndarray
+    steps: jnp.ndarray
+    records: jnp.ndarray  # (max_steps, len(RECORD_FIELDS)) f64
+    n_drops: jnp.ndarray
+    # --- last-step outcome (StepResult scalars) ---
+    advanced: jnp.ndarray
+    iexpand: jnp.ndarray
+    t_ssa: jnp.ndarray
+    dsum: jnp.ndarray
+
+
+def make_table_advance_fn(config: SolverConfig, max_steps: int):
+    """Fused multi-step device loop for the table (gather-ELL) backend.
+
+    The reference main loop (KrylovSolver.f90:206-550) runs in-process; the
+    host-orchestrated ``CmeSolver.solve`` pays one device round-trip per
+    attempted step, which dominates wall time on high-latency backends
+    (BASELINE.md round-3 findings).  This builds
+    ``advance(op, w, active, carry, t_out, fsptol, krytol)`` running up to
+    ``max_steps`` attempted steps in ONE ``lax.while_loop`` dispatch; the
+    host is re-entered only on:
+
+      * t_out reached                                  (EVENT_DONE)
+      * SSA expansion requested by the FSP criterion   (EVENT_EXPAND — the
+        state-table mutation is host-side by design)
+      * stepper failure (iflag != 0)                   (EVENT_FAIL)
+      * ``max_steps`` elapsed                          (EVENT_BUDGET)
+
+    Probability-mass dropping (KrylovSolver.f90:509-511, DROP_STATES
+    StateSpace.f90:398-548) runs INLINE as a soft drop: rows are
+    deactivated (w zeroed, matvec output masked), which is mathematically
+    identical to removing the state from the projection — inflow into a
+    deactivated row is discarded (the reference's ADJ=0 dropped-mass path)
+    and its outflow vanishes with x=0.  The operator itself is static
+    between expansion events.
+    """
+    from ..ops.spmv import spmv
+
+    def masked_matvec(oa):
+        op, active = oa
+
+        def mv(x):
+            return jnp.where(active, spmv(op, x), 0)
+
+        return mv
+
+    step = make_step_fn(
+        masked_matvec,
+        config,
+        op_info=lambda oa: (
+            jnp.sum(oa[1]).astype(jnp.int32),
+            oa[0].props.shape[1],
+        ),
+    )
+    droptol_start = config.droptol_start
+    inflow_guard = config.inflow_guard
+    drop_fraction = config.drop_fraction
+
+    def drop_inline(op, active, w, dsum, carry):
+        """DROP_STATES as row-mask arithmetic (StateSpace.f90:398-548):
+        pick the largest droptol level whose below-threshold mass fits in
+        dsum, deactivate those rows unless the inflow guard keeps them,
+        and only commit when more than drop_fraction of rows would go."""
+        w64 = w.astype(jnp.float64)
+        inflow = jnp.where(active, spmv(op, w), 0).astype(jnp.float64)
+        levels = droptol_start / (
+            10.0 ** jnp.arange(_N_LEVELS, dtype=jnp.float64)
+        )
+        below = (
+            (w64[None, :] < levels[:, None])
+            & (w64[None, :] > 0)
+            & active[None, :]
+        )
+        sums = jnp.sum(jnp.where(below, w64[None, :], 0.0), axis=1)
+        ok = sums < dsum
+        droptol = jnp.where(jnp.any(ok), levels[jnp.argmax(ok)], levels[-1])
+        dmask = (w64 < droptol) & active & ~(inflow > inflow_guard)
+        count = jnp.sum(dmask)
+        n_active = jnp.sum(active)
+        do = count.astype(jnp.float64) > drop_fraction * n_active.astype(
+            jnp.float64
+        )
+        active_new = jnp.where(do, active & ~dmask, active)
+        w_new = jnp.where(do & dmask, 0, w)
+        beta_new = jnp.sqrt(jnp.sum((w_new * w_new).astype(jnp.float64)))
+        dropped_mass = jnp.sum(jnp.where(dmask, w64, 0.0))
+        carry = carry._replace(
+            beta=jnp.where(do, beta_new, carry.beta),
+            hump=jnp.where(do, jnp.maximum(carry.hump, beta_new), carry.hump),
+            spent=carry.spent + jnp.where(do, dropped_mass, 0.0),
+        )
+        return active_new, w_new, carry, jnp.where(do, count, 0)
+
+    def advance(op, w, active, carry: StepCarry, t_out, fsptol, krytol):
+        t_out_abs = jnp.abs(t_out)
+
+        def cond(st: TableAdvanceState):
+            return (st.event == EVENT_NONE) & (st.steps < max_steps)
+
+        def body(st: TableAdvanceState) -> TableAdvanceState:
+            res = step((op, st.active), st.w, st.carry, t_out, fsptol, krytol)
+            w, carry, active = res.w, res.carry, st.active
+
+            # ---- inline soft drop (KrylovSolver.f90:509-511) -----------
+            do_drop = res.advanced & (res.dsum > 0.0)
+            active, w, carry, dropped = jax.lax.cond(
+                do_drop,
+                lambda args: drop_inline(op, *args),
+                lambda args: (
+                    args[0],
+                    args[1],
+                    args[3],
+                    jnp.asarray(0, jnp.int64),
+                ),
+                (active, w, res.dsum, carry),
+            )
+            n_drops = st.n_drops + (dropped > 0)
+
+            # ---- events ------------------------------------------------
+            failed = carry.iflag != 0
+            done = (carry.t_now >= t_out_abs) & ~failed
+            expand = res.iexpand & ~done & ~failed
+            event = jnp.where(
+                failed,
+                EVENT_FAIL,
+                jnp.where(
+                    done,
+                    EVENT_DONE,
+                    jnp.where(expand, EVENT_EXPAND, EVENT_NONE),
+                ),
+            ).astype(jnp.int32)
+
+            # ---- record ------------------------------------------------
+            rec = jnp.stack(
+                [
+                    carry.nstep.astype(jnp.float64),
+                    jnp.sum(active).astype(jnp.float64),
+                    res.t_step.astype(jnp.float64),
+                    carry.t_new.astype(jnp.float64),
+                    carry.t_now.astype(jnp.float64),
+                    res.m_used.astype(jnp.float64),
+                    res.wsum.astype(jnp.float64),
+                    res.err_loc.astype(jnp.float64),
+                    res.advanced.astype(jnp.float64),
+                    res.iexpand.astype(jnp.float64),
+                    dropped.astype(jnp.float64),
+                ]
+            )
+            records = jax.lax.dynamic_update_slice(
+                st.records,
+                rec[None, :],
+                (st.steps, jnp.asarray(0, st.steps.dtype)),
+            )
+
+            return TableAdvanceState(
+                w=w,
+                active=active,
+                carry=carry,
+                event=event,
+                steps=st.steps + 1,
+                records=records,
+                n_drops=n_drops,
+                advanced=res.advanced,
+                iexpand=res.iexpand,
+                t_ssa=res.t_ssa,
+                dsum=res.dsum,
+            )
+
+        z = jnp.asarray(0.0, jnp.float64)
+        init = TableAdvanceState(
+            w=w,
+            active=active,
+            carry=carry,
+            event=jnp.asarray(EVENT_NONE, jnp.int32),
+            steps=jnp.asarray(0, jnp.int32),
+            records=jnp.zeros((max_steps, len(RECORD_FIELDS)), jnp.float64),
+            n_drops=jnp.asarray(0, jnp.int32),
+            advanced=jnp.asarray(False),
+            iexpand=jnp.asarray(False),
+            t_ssa=z,
+            dsum=z,
+        )
+        st = jax.lax.while_loop(cond, body, init)
+        event = jnp.where(
+            st.event == EVENT_NONE, EVENT_BUDGET, st.event
+        ).astype(jnp.int32)
+        return st._replace(event=event)
+
+    return advance
 
 
 def make_advance_fn(

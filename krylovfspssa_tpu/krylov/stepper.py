@@ -693,8 +693,15 @@ def make_step_fn(
         # accept that same tau on the post-expansion retry anyway)
         fc = fc._replace(abandon=fc.abandon & ~fc.ok)
         if crit_floor:
-            # assemble the accepted (or last-attempted) vector once
-            fc = fc._replace(w=assemble_w(fc.E))
+            # assemble the accepted vector once; skip the O(m*n) AXPY loop
+            # on abandon/fail paths whose assembled result the post-step
+            # bookkeeping discards anyway (advisor round-3 finding)
+            fc = jax.lax.cond(
+                fc.abandon | fail,
+                lambda fc: fc,
+                lambda fc: fc._replace(w=assemble_w(fc.E)),
+                fc,
+            )
 
         iexpand = ((fc.irejectfsp > 0) | fc.abandon) & (~fail)
 

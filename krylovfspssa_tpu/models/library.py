@@ -15,9 +15,34 @@ from .model import Model
 
 
 def toggle_file_model() -> Model:
-    """The toggle switch of ``models/toggle_model.input`` with the parameter
-    values used by ``TestSolverFromFile`` (test/TestSolverFromFile.f90:31:
-    reset_parameters([1,100,1,1,100,1]) -> kx=1, ky=100, dx=1, dy=1)."""
+    """The 6-parameter basal toggle switch of ``models/toggle_model.input``
+    (reference ``models/toggle_model.input:1-32``) with the parameter values
+    used by ``TestSolverFromFile`` (test/TestSolverFromFile.f90:31:
+    reset_parameters([1,100,1,1,100,1]))."""
+    m = Model(
+        n_species=2,
+        n_reactions=4,
+        n_parameters=6,
+        stoichiometry=np.array([[1, 0], [-1, 0], [0, 1], [0, -1]]),
+        species_names=["X", "Y"],
+        parameter_names=["bx", "kx", "dx", "by", "ky", "dy"],
+        propensity_expressions=[
+            "bx + kx/(2.0 + 0.2*Y^2)",
+            "dx*X",
+            "by + ky/(1.0 + 0.5*X^1.5)",
+            "dy*Y",
+        ],
+        name="toggle",
+    )
+    m.reset_parameters([1.0, 100.0, 1.0, 1.0, 100.0, 1.0])
+    return m
+
+
+def toggle_parser_model() -> Model:
+    """The 4-parameter toggle variant of ``models/toggle_test_model.input``
+    (reference ``models/toggle_test_model.input``) with the parameter values
+    used by the parser test (test/TestModelParser.f90:15:
+    reset_parameters([5000,1600,1,1]))."""
     m = Model(
         n_species=2,
         n_reactions=4,
@@ -31,9 +56,9 @@ def toggle_file_model() -> Model:
             "dx*X",
             "dy*Y",
         ],
-        name="toggle",
+        name="toggle_parser",
     )
-    m.reset_parameters([1.0, 100.0, 1.0, 1.0])
+    m.reset_parameters([5000.0, 1600.0, 1.0, 1.0])
     return m
 
 
@@ -287,11 +312,28 @@ def ge5d_model() -> Model:
 
 LIBRARY = {
     "toggle": toggle_file_model,
+    "toggle_parser": toggle_parser_model,
     "toggle_programmatic": toggle_programmatic_model,
     "repressilator": repressilator_model,
     "goutsias": goutsias_model,
     "bursting_gene": bursting_gene_model,
     "ge5d": ge5d_model,
+}
+
+
+#: parameter values the reference driver programs reset each bundled
+#: ``models/*.input`` model to before solving (the .input format carries
+#: parameter NAMES only; values come from RESET_PARAMETERS calls in the
+#: drivers).  Keyed by input-file stem.
+DRIVER_PARAMETERS = {
+    # test/TestSolverFromFile.f90:31
+    "toggle_model": [1.0, 100.0, 1.0, 1.0, 100.0, 1.0],
+    # test/TestModelParser.f90:15
+    "toggle_test_model": [5000.0, 1600.0, 1.0, 1.0],
+    # examples/repressilator.f90:20-22
+    "repressilator_model": [100.0, 25.0, 1.0],
+    # examples/transcr6d.f90:23-32
+    "goutsias_model": GOUTSIAS_PARAMETERS,
 }
 
 

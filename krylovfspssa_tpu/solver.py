@@ -157,21 +157,76 @@ class CmeSolver:
             )
         self._steps: dict = {}
 
-    def _step(self, op, w, *args):
-        """Jitted step for the current capacity, m_max clamped so the
-        Krylov basis ((m_max+2, capacity)) fits config.max_basis_bytes."""
+    def _m_eff(self, capacity: int) -> int:
+        """m_max clamped so the Krylov basis ((m_max+2, capacity)) fits
+        config.max_basis_bytes."""
         cfg = self.config
         m_eff = cfg.m_max
         if cfg.max_basis_bytes > 0:
             itemsize = jnp.dtype(self._dtype).itemsize
-            mh = int(cfg.max_basis_bytes // (w.shape[0] * itemsize))
+            mh = int(cfg.max_basis_bytes // (capacity * itemsize))
             m_eff = min(cfg.m_max, max(cfg.m_min, mh - 2))
+        return m_eff
+
+    def _cfg_eff(self, m_eff: int) -> SolverConfig:
+        cfg = self.config
+        return cfg if m_eff == cfg.m_max else dataclasses.replace(
+            cfg, m_max=m_eff
+        )
+
+    def _advance(self, capacity: int, budget: int):
+        """Jitted fused multi-step loop for the current capacity bucket
+        (krylov/advance.py make_table_advance_fn)."""
+        from .krylov.advance import TableAdvanceState, make_table_advance_fn
+
+        m_eff = self._m_eff(capacity)
+        key = ("adv", m_eff, budget)
+        if key not in self._steps:
+            adv = make_table_advance_fn(self._cfg_eff(m_eff), budget)
+            if self.mesh is None:
+                self._steps[key] = jax.jit(adv)
+            else:
+                from .krylov.stepper import initial_carry
+                from .parallel.sharded import operator_shardings
+
+                carry_rep = jax.tree.map(
+                    lambda _: self._rep, initial_carry(1.0, 1.0, 1e-8, 1.0, 10)
+                )
+                self._steps[key] = jax.jit(
+                    adv,
+                    in_shardings=(
+                        operator_shardings(self.mesh),
+                        self._row,  # w
+                        self._row,  # active
+                        carry_rep,
+                        self._rep,
+                        self._rep,
+                        self._rep,
+                    ),
+                    out_shardings=TableAdvanceState(
+                        w=self._row,
+                        active=self._row,
+                        carry=carry_rep,
+                        event=self._rep,
+                        steps=self._rep,
+                        records=self._rep,
+                        n_drops=self._rep,
+                        advanced=self._rep,
+                        iexpand=self._rep,
+                        t_ssa=self._rep,
+                        dsum=self._rep,
+                    ),
+                )
+        return self._steps[key]
+
+    def _step(self, op, w, *args):
+        """Jitted single attempted step for the current capacity."""
+        cfg = self.config
+        m_eff = self._m_eff(w.shape[0])
         if m_eff not in self._steps:
-            cfg_eff = (
-                cfg if m_eff == cfg.m_max
-                else dataclasses.replace(cfg, m_max=m_eff)
+            step = make_step_fn(
+                lambda op: (lambda x: spmv(op, x)), self._cfg_eff(m_eff)
             )
-            step = make_step_fn(lambda op: (lambda x: spmv(op, x)), cfg_eff)
             if self.mesh is None:
                 self._steps[m_eff] = jax.jit(step)
             else:
@@ -305,24 +360,40 @@ class CmeSolver:
         iteration = 0
         last_ckpt = [int(carry.nstep)]
 
-        def maybe_checkpoint():
+        def maybe_checkpoint(table_, w_, carry_, rng_, keep=None):
             if checkpoint_path is None:
                 return
-            nstep = int(carry.nstep)
+            nstep = int(carry_.nstep)
             if nstep - last_ckpt[0] >= int(checkpoint_every):
                 from .checkpoint import save_table_checkpoint
 
+                states_ck = np.asarray(table_.states[: table_.n])
+                w_ck = np.asarray(w_, dtype=np.float64)[: table_.n]
+                if keep is not None and not keep.all():
+                    states_ck = states_ck[keep]
+                    w_ck = w_ck[keep]
                 save_table_checkpoint(
                     checkpoint_path,
-                    np.asarray(table.states[: table.n]),
-                    np.asarray(w, dtype=np.float64)[: table.n],
-                    jax.device_get(carry),
+                    states_ck,
+                    w_ck,
+                    jax.device_get(carry_),
                     float(t_out),
                     float(fsptol_j),
                     float(krytol_j),
-                    np.asarray(rng),
+                    np.asarray(rng_),
                 )
                 last_ckpt[0] = nstep
+
+        if cfg.fused_steps:
+            budget = cfg.max_steps_per_call
+            if checkpoint_path is not None:
+                budget = min(budget, int(checkpoint_every))
+            table, w, carry, rng = self._solve_fused(
+                table, w, carry, rng, t, t_out, fsptol_j, krytol_j,
+                stats, hard_cap, verbosity, wall0, op, maybe_checkpoint,
+                budget,
+            )
+            return self._finalize(table, w, carry, stats, t, wall0)
 
         while float(carry.t_now) < abs(t):
             iteration += 1
@@ -421,8 +492,11 @@ class CmeSolver:
             stats.records.append(rec)
             if verbosity:
                 print(rec.format(), flush=True)
-            maybe_checkpoint()
+            maybe_checkpoint(table, w, carry, rng)
 
+        return self._finalize(table, w, carry, stats, t, wall0)
+
+    def _finalize(self, table, w, carry, stats, t, wall0) -> SolveResult:
         # ---- final statistics (KrylovSolver.f90:554-573) ---------------
         stats.nmult = int(carry.nmult)
         stats.nexph = int(carry.nexph)
@@ -455,6 +529,118 @@ class CmeSolver:
             table=table,
         )
 
+    def _solve_fused(
+        self, table, w, carry, rng, t, t_out, fsptol_j, krytol_j,
+        stats, hard_cap, verbosity, wall0, op, maybe_checkpoint, budget,
+    ):
+        """Fused device main loop for the table backend: many attempted
+        steps per dispatch (krylov/advance.py make_table_advance_fn); the
+        host re-enters only on SSA-expansion events, the per-call step
+        budget, or completion.  Soft-dropped rows (the inline DROP_STATES)
+        are compacted out of the host table lazily at expansion events."""
+        from .krylov.advance import (
+            EVENT_BUDGET,
+            EVENT_DONE,
+            EVENT_EXPAND,
+            EVENT_FAIL,
+        )
+
+        cfg = self.config
+        total_attempted = 0
+
+        def make_active():
+            a = jnp.arange(table.capacity) < table.n
+            return a if self._row is None else jax.device_put(a, self._row)
+
+        active = make_active()
+        while True:
+            adv = self._advance(table.capacity, budget)
+            seg0 = time.perf_counter()
+            st = adv(op, w, active, carry, t_out, fsptol_j, krytol_j)
+            w, active, carry = st.w, st.active, st.carry
+            nsteps = int(st.steps)
+            total_attempted += nsteps
+            stats.n_drops += int(st.n_drops)
+            recs = np.asarray(st.records)[:nsteps]  # forces device sync
+            # per-step wall inside a fused segment is not observable; the
+            # amortized segment wall is recorded instead (documented on
+            # StepRecord.wall_s)
+            seg_wall = (time.perf_counter() - seg0) / max(nsteps, 1)
+            for row in recs:
+                rec = StepRecord(
+                    nstep=int(row[0]),
+                    fsp_size=int(row[1]),
+                    t_step=float(row[2]),
+                    t_new=float(row[3]),
+                    t_now=float(row[4]),
+                    m=int(row[5]),
+                    wsum=float(row[6]),
+                    err_loc=float(row[7]),
+                    advanced=bool(row[8]),
+                    expanded=bool(row[9]),
+                    dropped=int(row[10]),
+                    wall_s=seg_wall,
+                )
+                stats.records.append(rec)
+                if verbosity:
+                    print(rec.format(), flush=True)
+            keep = np.asarray(active)[: table.n]
+            maybe_checkpoint(table, w, carry, rng, keep)
+            event = int(st.event)
+            if event == EVENT_FAIL:
+                raise RuntimeError(
+                    f"step rejected more than mxreject={cfg.mxreject} times "
+                    "(IFLAG=2, KrylovSolver.f90:392-397); requested "
+                    "tolerance likely unattainable"
+                )
+            if event == EVENT_DONE:
+                break
+            if total_attempted > hard_cap:
+                stats.nstep = int(carry.nstep)
+                raise RuntimeError(
+                    f"exceeded {hard_cap} attempted steps (IFLAG=1 analog)"
+                )
+            if event == EVENT_EXPAND:
+                # host mutation: compact soft-dropped rows, then SSA +
+                # 1-step expansion and operator rebuild
+                # (KrylovSolver.f90:516-534)
+                n_before = table.n
+                w_np = np.asarray(w, dtype=np.float64)[: table.n]
+                compacted = not keep.all()
+                if compacted:
+                    w_kept = w_np[keep]
+                    table, _ = table.compact(keep)
+                    w_np = _repad(w_kept, table.capacity)
+                rng, sub = jax.random.split(rng)
+                table, _ = ssa_extend(
+                    table,
+                    self._props_fn,
+                    self._stoich,
+                    float(st.t_ssa),
+                    sub,
+                    cfg.ssa_max_steps,
+                    cfg.max_states,
+                )
+                table, _ = onestep_extend(table, self._stoich, cfg.max_states)
+                if compacted or table.n != n_before or table.capacity != len(
+                    np.asarray(w)
+                ):
+                    w_np = _repad(w_np, table.capacity)
+                    w = self._put_row(w_np, self._dtype)
+                    op = self._operator(table)
+                active = make_active()
+                stats.n_expansions += 1
+            # EVENT_BUDGET: stream records / checkpoint and re-enter
+
+        # drop soft-dropped rows from the final table (their probability
+        # is already zero; the legacy path compacts at drop time)
+        keep = np.asarray(active)[: table.n]
+        if not keep.all():
+            w_kept = np.asarray(w, dtype=np.float64)[: table.n][keep]
+            table, _ = table.compact(keep)
+            w = self._put_row(_repad(w_kept, table.capacity), self._dtype)
+        return table, w, carry, rng
+
 
 def solve_cme(
     model: Model,
@@ -466,11 +652,16 @@ def solve_cme(
     config: SolverConfig | None = None,
     verbosity: int = 0,
     mesh=None,
+    checkpoint_path: str | None = None,
+    checkpoint_every: int = 50,
+    resume_from: str | None = None,
 ) -> SolveResult:
     """One-shot convenience wrapper (CME_SOLVE parity)."""
     solver = CmeSolver(model, config, mesh=mesh)
     return solver.solve(
-        t, initial_states, p0, fsp_tol, krylov_tol, verbosity=verbosity
+        t, initial_states, p0, fsp_tol, krylov_tol, verbosity=verbosity,
+        checkpoint_path=checkpoint_path, checkpoint_every=checkpoint_every,
+        resume_from=resume_from,
     )
 
 

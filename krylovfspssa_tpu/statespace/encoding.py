@@ -122,6 +122,42 @@ class StateEncoder:
         key = jnp.stack(words, axis=-1)
         return jnp.where(valid[..., None], key, jnp.int64(INVALID_KEY))
 
+    def encode_np(self, states: np.ndarray) -> np.ndarray:
+        """Host (numpy) mirror of :meth:`encode` — used by the host-side
+        table/expansion machinery so state-set mutations never pay an
+        eager device dispatch (round-4: on remote backends each eager op
+        is a tunnel round-trip)."""
+        states = np.asarray(states, dtype=np.int64)
+        shifts = self.shifts
+        valid = np.all((states >= 0) & (states <= self.species_cap), axis=-1)
+        safe = np.where(valid[..., None], states, 0) << shifts
+        if self.n_words == 1:
+            key = safe.sum(axis=-1)
+            return np.where(valid, key, INVALID_KEY)
+        wos = self.word_of_species
+        key = np.stack(
+            [safe[..., wos == w].sum(axis=-1) for w in range(self.n_words)],
+            axis=-1,
+        )
+        return np.where(valid[..., None], key, INVALID_KEY)
+
+    def decode_np(self, keys: np.ndarray) -> np.ndarray:
+        """Host (numpy) mirror of :meth:`decode`."""
+        keys = np.asarray(keys, dtype=np.int64)
+        shifts = self.shifts
+        mask = np.int64(self.species_cap)
+        if self.n_words == 1:
+            comps = (keys[..., None] >> shifts) & mask
+            valid = keys >= 0
+            return np.where(valid[..., None], comps, 0).astype(np.int32)
+        wos = self.word_of_species
+        words = np.take_along_axis(
+            keys, np.broadcast_to(wos, keys.shape[:-1] + wos.shape), axis=-1
+        )
+        comps = (words >> shifts) & mask
+        valid = keys[..., 0] >= 0
+        return np.where(valid[..., None], comps, 0).astype(np.int32)
+
     def decode(self, keys) -> jnp.ndarray:
         """keys -> (n, d) int32 states (invalid keys -> zeros)."""
         keys = jnp.asarray(keys, dtype=jnp.int64)

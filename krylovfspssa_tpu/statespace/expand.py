@@ -35,18 +35,20 @@ from .table import StateTable
 
 
 def onestep_candidates(table: StateTable, stoichiometry: np.ndarray):
-    """Keys + states of all legal 1-step successors not in the table."""
-    stoich = jnp.asarray(np.asarray(stoichiometry), dtype=jnp.int32)
+    """Keys + states of all legal 1-step successors of active rows.
+
+    Pure host (numpy) computation: the candidate sets are small bookkeeping
+    arrays and eager device dispatches cost a tunnel round-trip each on
+    remote backends (round-4 profiling).  ``merge_keys`` filters
+    already-present keys, so no present-filter is needed here."""
+    stoich = np.asarray(stoichiometry, dtype=np.int32)
     enc = table.encoder
-    n, cap, d = table.n, table.capacity, enc.n_species
+    n, d = table.n, enc.n_species
     R = stoich.shape[0]
-    succ = table.states[:, None, :] + stoich[None, :, :]  # (cap, R, d)
-    keys = enc.encode(succ.reshape(cap * R, d))
-    inactive = ~((jnp.arange(cap)[:, None] < n) & jnp.ones((1, R), bool))
-    keys = enc.invalidate(keys, inactive.reshape(-1))
-    present = table.lookup(keys)
-    keys = enc.invalidate(keys, present >= 0)
-    return keys, succ.reshape(cap * R, d)
+    succ = table.states[:n, None, :] + stoich[None, :, :]  # (n, R, d)
+    succ = succ.reshape(n * R, d)
+    keys = enc.encode_np(succ)  # illegal successors -> INVALID_KEY
+    return keys, succ
 
 
 def onestep_extend(
@@ -54,29 +56,30 @@ def onestep_extend(
 ) -> tuple[StateTable, int]:
     """One round of 1-step reachability expansion."""
     keys, succ = onestep_candidates(table, stoichiometry)
-    return table.merge_keys(np.asarray(keys), np.asarray(succ), max_capacity)
+    return table.merge_keys(keys, succ, max_capacity)
 
 
 # ---------------------------------------------------------------- SSA ----
 
 
-@partial(jax.jit, static_argnames=("max_steps", "props_fn"))
-def _ssa_walk_states(
+@partial(jax.jit, static_argnames=("max_steps", "props_fn", "encoder"))
+def _ssa_walk(
     states,  # (chunk, d) int32 walk origins
     alive0,  # (chunk,) bool
     t_budget,  # scalar f64
     rng,  # PRNG key
     props_fn,  # static: (m, d) states -> (m, R) propensities
     stoich,  # (R, d) int32
-    species_cap: jnp.ndarray,  # scalar int64
+    encoder,  # static: StateEncoder (frozen dataclass)
     max_steps: int,
 ):
-    """Run Gillespie walks from each origin; return (max_steps, chunk, d)
-    int32 visited states (all -1 where no visit).  Emitting states instead
-    of packed keys keeps this path encoder-independent (single- and
-    multi-word keys alike)."""
+    """Run Gillespie walks from each origin; return the visited-state
+    record: (max_steps, chunk) packed int64 keys for single-word encoders
+    (-1 where no visit — 1/3 the D2H volume of raw states), else
+    (max_steps, chunk, d) int32 states."""
     chunk, d = states.shape
     R = stoich.shape[0]
+    species_cap = jnp.int64(encoder.species_cap)
 
     def step(carry, step_rng):
         x, t, alive = carry
@@ -101,7 +104,10 @@ def _ssa_walk_states(
         )
         stepped = alive & (diag > 0)
         ok = stepped & legal
-        emit = jnp.where(ok[:, None], x_next, -1)
+        if encoder.n_words == 1:
+            emit = jnp.where(ok, encoder.encode(x_next), jnp.int64(-1))
+        else:
+            emit = jnp.where(ok[:, None], x_next, -1)
         x_new = jnp.where(ok[:, None], x_next, x)
         t_new = jnp.where(stepped, t_next, t)
         # walk ends on illegal move (StateSpace.f90:594-596) or exhausted
@@ -112,7 +118,7 @@ def _ssa_walk_states(
     rngs = jax.random.split(rng, max_steps * 2).reshape(max_steps, 2, -1)
     t0 = jnp.zeros((chunk,), dtype=jnp.float64)
     (_, _, _), emitted = jax.lax.scan(step, (states, t0, alive0), rngs)
-    return emitted  # (max_steps, chunk, d)
+    return emitted
 
 
 def ssa_extend(
@@ -131,33 +137,44 @@ def ssa_extend(
     propensity evaluator.
     """
     stoich = jnp.asarray(np.asarray(stoichiometry), dtype=jnp.int32)
-    cap_val = jnp.int64(table.encoder.species_cap)
-    d = table.encoder.n_species
+    enc = table.encoder
+    d = enc.n_species
     n = table.n
     added_total = 0
     for lo in range(0, n, chunk_size):
         hi = min(lo + chunk_size, n)
         m = hi - lo
-        pad = -(-m // 256) * 256  # pad chunk to avoid shape churn
+        # pad the chunk to a power-of-two bucket (min 1024): each distinct
+        # shape costs a full XLA compile, which dominated round-3 flagship
+        # expansions (~20 s each on the remote backend)
+        pad = max(1024, 1 << int(np.ceil(np.log2(max(m, 1)))))
+        pad = min(pad, chunk_size)
         origin = np.zeros((pad, d), dtype=np.int32)
-        origin[:m] = np.asarray(table.states[lo:hi])
+        origin[:m] = table.states[lo:hi]
         alive = np.zeros(pad, dtype=bool)
         alive[:m] = True
-        visited = _ssa_walk_states(
+        visited = _ssa_walk(
             jnp.asarray(origin),
             jnp.asarray(alive),
             jnp.asarray(float(t_budget), jnp.float64),
             jax.random.fold_in(rng, lo),
             model_props_fn,
             stoich,
-            cap_val,
+            enc,
             max_steps,
         )
-        st = np.asarray(visited).reshape(-1, d)
-        st = np.unique(st[st[:, 0] >= 0], axis=0)
-        if st.shape[0] == 0:
-            continue
-        keys_np = np.asarray(table.encoder.encode(jnp.asarray(st)))
+        if enc.n_words == 1:
+            keys_np = np.unique(np.asarray(visited).ravel())
+            keys_np = keys_np[keys_np >= 0]
+            if keys_np.shape[0] == 0:
+                continue
+            st = enc.decode_np(keys_np)
+        else:
+            st = np.asarray(visited).reshape(-1, d)
+            st = np.unique(st[st[:, 0] >= 0], axis=0)
+            if st.shape[0] == 0:
+                continue
+            keys_np = enc.encode_np(st)
         table, added = table.merge_keys(keys_np, st, max_capacity)
         added_total += added
     return table, added_total

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import jax.numpy as jnp
 import numpy as np
 
 from .encoding import StateEncoder
@@ -32,24 +31,29 @@ _KEY_PAD = np.int64(np.iinfo(np.int64).max)
 
 @dataclasses.dataclass
 class StateTable:
-    """Padded state table + sorted membership index (host-managed sizes,
-    device-resident arrays).
+    """Padded state table + sorted membership index.
+
+    All arrays are HOST (numpy) arrays: the table is pure bookkeeping, and
+    on remote device backends every eager device op is a tunnel round-trip
+    (round-4 profiling: the expansion path's eager dispatches dominated the
+    flagship wall).  Device consumers (operator assembly, the fused solve
+    loop) receive these arrays as jit arguments, which handles H2D once
+    per state-set mutation.
 
     ``host_index`` is the native C++ hash table (HashTable.f90 parity,
     native/kfs_hash.cpp) mirroring key -> row; it lets ``merge_keys`` filter
-    and dedup candidates without a device round-trip.  Tables are used
-    linearly by the solver: a merge mutates the shared host index, so the
-    *pre-merge* table's host lookups become stale (device arrays stay
-    immutable).
+    and dedup candidates without a sort.  Tables are used linearly by the
+    solver: a merge mutates the shared host index, so the *pre-merge*
+    table's host lookups become stale (arrays stay immutable).
     """
 
     encoder: StateEncoder
     capacity: int
     n: int
-    states: jnp.ndarray  #: (capacity, d) int32, rows >= n are zero
-    keys: jnp.ndarray  #: (capacity,) int64, rows >= n are INVALID (-1)
-    sorted_keys: jnp.ndarray  #: (capacity,) int64 ascending, padded KEY_PAD
-    sorted_to_row: jnp.ndarray  #: (capacity,) int32
+    states: np.ndarray  #: (capacity, d) int32, rows >= n are zero
+    keys: np.ndarray  #: (capacity,) int64, rows >= n are INVALID (-1)
+    sorted_keys: np.ndarray  #: (capacity,) int64 ascending, padded KEY_PAD
+    sorted_to_row: np.ndarray  #: (capacity,) int32
     host_index: object | None = None
 
     # ------------------------------------------------------------------ #
@@ -65,7 +69,7 @@ class StateTable:
         states = np.asarray(states, dtype=np.int32)
         if states.ndim != 2 or states.shape[1] != encoder.n_species:
             raise ValueError(f"states shape {states.shape} invalid")
-        keys = np.asarray(encoder.encode(states))
+        keys = encoder.encode_np(states)
         if np.any(_keys_invalid(keys, encoder)):
             raise ValueError("initial states out of encodable range")
         # dedup, preserving first-occurrence order
@@ -117,23 +121,52 @@ class StateTable:
             encoder=encoder,
             capacity=capacity,
             n=int(n),
-            states=jnp.asarray(st),
-            keys=jnp.asarray(ky),
-            sorted_keys=jnp.asarray(sort_src[perm]),
-            sorted_to_row=jnp.asarray(perm),
+            states=st,
+            keys=ky,
+            sorted_keys=sort_src[perm],
+            sorted_to_row=perm,
             host_index=host_index,
         )
 
     # ------------------------------------------------------------------ #
 
-    def lookup(self, query_keys) -> jnp.ndarray:
-        """Batch membership: int64 keys -> row indices or -1."""
-        from ..ops.operator import lookup_keys
+    def lookup(self, query_keys) -> np.ndarray:
+        """Batch membership: int64 keys -> row indices or -1 (host-side:
+        native hash when available, else numpy binary search)."""
+        q = np.asarray(query_keys)
+        W = self.encoder.n_words
+        if W == 1 and self.host_index is not None:
+            return self.host_index.lookup(np.ascontiguousarray(q, np.int64))
+        if W == 1:
+            pos = np.searchsorted(self.sorted_keys, q)
+            pos = np.clip(pos, 0, self.capacity - 1)
+            hit = (self.sorted_keys[pos] == q) & (q >= 0)
+            return np.where(hit, self.sorted_to_row[pos], -1).astype(np.int32)
+        # multi-word: vectorized lexicographic binary search (host mirror
+        # of ops/operator.py:_lookup_keys_wide)
+        cap = self.capacity
+        qf = q.reshape(-1, W)
+        m = qf.shape[0]
+        lo = np.zeros(m, np.int64)
+        hi = np.full(m, cap, np.int64)
+        steps = int(np.ceil(np.log2(max(cap, 2)))) + 1
+        for _ in range(steps):
+            mid = (lo + hi) // 2
+            a = self.sorted_keys[np.clip(mid, 0, cap - 1)]
+            lt = np.zeros(m, bool)
+            eq = np.ones(m, bool)
+            for w in range(W):
+                lt |= eq & (a[:, w] < qf[:, w])
+                eq &= a[:, w] == qf[:, w]
+            lo = np.where(lt, np.minimum(mid + 1, hi), lo)
+            hi = np.where(lt, hi, mid)
+        pos = np.clip(lo, 0, cap - 1)
+        hit = np.all(self.sorted_keys[pos] == qf, axis=-1) & (qf[:, 0] >= 0)
+        out = np.where(hit, self.sorted_to_row[pos], -1).astype(np.int32)
+        return out.reshape(q.shape[:-1])
 
-        return lookup_keys(self.sorted_keys, self.sorted_to_row, query_keys)
-
-    def lookup_states(self, states) -> jnp.ndarray:
-        return self.lookup(self.encoder.encode(jnp.asarray(states)))
+    def lookup_states(self, states) -> np.ndarray:
+        return self.lookup(self.encoder.encode_np(np.asarray(states)))
 
     def merge_keys(
         self, new_keys, new_states, max_capacity: int | None = None
@@ -157,7 +190,7 @@ class StateTable:
             cand_states = new_states[take][order]
             reuse_index = self.host_index
         else:
-            present = np.asarray(self.lookup(jnp.asarray(new_keys)))
+            present = self.lookup(new_keys)
             fresh = (present < 0) & ~_keys_invalid(new_keys, self.encoder)
             cand_keys = new_keys[fresh]
             cand_states = new_states[fresh]

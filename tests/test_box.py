@@ -107,8 +107,7 @@ def _stencil_vs_gather(model, seeds, n_dilate=6):
 
 
 def test_stencil_matches_gather_toggle():
-    model = toggle_file_model()
-    model.reset_parameters([1.0, 100.0, 1.0, 1.0])
+    model = toggle_file_model()  # TestSolverFromFile values preset
     _stencil_vs_gather(model, [[0, 0]], n_dilate=8)
 
 

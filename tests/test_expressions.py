@@ -64,11 +64,9 @@ def test_batched_eval():
 
 
 def test_toggle_grid_vs_handwritten():
-    """Parity analog of TestModelParser: parsed vs hand-coded over a
-    50x50 grid, exact to fp tolerance."""
-    exprs = [
-        ("bx + kx/(2.0 + 0.2*Y^2)", lambda x, y: 5000.0 / 1.0 + 0.0),  # placeholder
-    ]
+    """Parity analog of TestModelParser (test/TestModelParser.f90:33-45):
+    parsed propensities of the toggle_test model vs the hand-coded PROP
+    function over a 50x50 grid, exact to fp tolerance."""
     variables = ["X", "Y", "kx", "ky", "dx", "dy"]
     xs, ys = np.meshgrid(np.arange(1, 51), np.arange(1, 51), indexing="ij")
     X = xs.ravel().astype(np.float64)

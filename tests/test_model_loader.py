@@ -23,29 +23,50 @@ MODELS = Path(__file__).resolve().parents[1] / "models"
 
 
 def test_load_toggle():
+    # reference models/toggle_model.input: 6-parameter basal toggle, the
+    # model TestSolverFromFile.f90:21,31 loads and resets to [1,100,1,1,100,1]
     m = load_model(MODELS / "toggle_model.input")
     assert m.n_species == 2
     assert m.n_reactions == 4
-    assert m.n_parameters == 4
+    assert m.n_parameters == 6
     assert m.species_names == ["X", "Y"]
+    assert m.parameter_names == ["bx", "kx", "dx", "by", "ky", "dy"]
+    np.testing.assert_array_equal(
+        m.stoichiometry, [[1, 0], [-1, 0], [0, 1], [0, -1]]
+    )
+    m.reset_parameters([1.0, 100.0, 1.0, 1.0, 100.0, 1.0])
+    states = np.array([[0, 0], [2, 3], [10, 1]])
+    props = np.asarray(m.propensities(states))
+    X, Y = states[:, 0].astype(float), states[:, 1].astype(float)
+    np.testing.assert_allclose(props[:, 0], 1.0 + 100.0 / (2.0 + 0.2 * Y ** 2), rtol=1e-13)
+    np.testing.assert_allclose(props[:, 1], X, rtol=1e-13)
+    np.testing.assert_allclose(props[:, 2], 1.0 + 100.0 / (1.0 + 0.5 * X ** 1.5), rtol=1e-13)
+    np.testing.assert_allclose(props[:, 3], Y, rtol=1e-13)
+
+
+def test_load_toggle_test_model():
+    # reference models/toggle_test_model.input: the 4-parameter variant used
+    # by the parser test (TestModelParser.f90:13-15, params [5000,1600,1,1])
+    m = load_model(MODELS / "toggle_test_model.input")
+    assert m.n_parameters == 4
     assert m.parameter_names == ["kx", "ky", "dx", "dy"]
     np.testing.assert_array_equal(
         m.stoichiometry, [[1, 0], [0, 1], [-1, 0], [0, -1]]
     )
-    m.reset_parameters([1.0, 100.0, 1.0, 1.0])
+    m.reset_parameters([5000.0, 1600.0, 1.0, 1.0])
     states = np.array([[0, 0], [2, 3], [10, 1]])
     props = np.asarray(m.propensities(states))
     X, Y = states[:, 0].astype(float), states[:, 1].astype(float)
-    np.testing.assert_allclose(props[:, 0], 1.0 / (1.0 + Y ** 2.5), rtol=1e-13)
-    np.testing.assert_allclose(props[:, 1], 100.0 / (1.0 + X ** 1.5), rtol=1e-13)
+    np.testing.assert_allclose(props[:, 0], 5000.0 / (1.0 + Y ** 2.5), rtol=1e-13)
+    np.testing.assert_allclose(props[:, 1], 1600.0 / (1.0 + X ** 1.5), rtol=1e-13)
     np.testing.assert_allclose(props[:, 2], X, rtol=1e-13)
     np.testing.assert_allclose(props[:, 3], Y, rtol=1e-13)
 
 
 def test_reset_parameters_truncates_extra_values():
-    # reference parity: TestSolverFromFile passes 6 values to a 4-parameter
-    # model; only the first n_parameters are used (ModelModule.f90:215)
-    m = load_model(MODELS / "toggle_model.input")
+    # reference parity: RESET_PARAMETERS uses only the first n_parameters
+    # values when given extras (ModelModule.f90:215)
+    m = load_model(MODELS / "toggle_test_model.input")
     m.reset_parameters([1.0, 100.0, 1.0, 1.0, 100.0, 1.0])
     np.testing.assert_array_equal(m.parameters, [1.0, 100.0, 1.0, 1.0])
 
@@ -106,10 +127,45 @@ def test_missing_propensities_is_lazy_error(tmp_path):
         m.propensities(np.zeros((1, 1)))
 
 
+def test_model_parser_driver_parity():
+    # full analog of the reference parser driver test/TestModelParser.f90:
+    # load MODELS/TOGGLE_TEST_MODEL.INPUT, reset to [5000,1600,1,1], and
+    # compare every propensity over the 50x50 grid against the hand-coded
+    # PROP function (TestModelParser.f90:80-102); then repeat with the
+    # custom-propensity pointer attached (:63)
+    m = load_model(MODELS / "toggle_test_model.input")
+    m.reset_parameters([5000.0, 1600.0, 1.0, 1.0])
+    xs, ys = np.meshgrid(np.arange(1, 51), np.arange(1, 51), indexing="ij")
+    states = np.stack([xs.ravel(), ys.ravel()], axis=1)
+    X, Y = states[:, 0].astype(float), states[:, 1].astype(float)
+    expected = np.stack(
+        [
+            5000.0 / (1.0 + Y ** 2.5),
+            1600.0 / (1.0 + X ** 1.5),
+            1.0 * X,
+            1.0 * Y,
+        ],
+        axis=1,
+    )
+    np.testing.assert_allclose(np.asarray(m.propensities(states)), expected, rtol=1e-13)
+
+    def prop(sts, r, p):
+        x, y = sts[..., 0].astype(float), sts[..., 1].astype(float)
+        return [
+            5000.0 / (1.0 + y ** 2.5),
+            1600.0 / (1.0 + x ** 1.5),
+            1.0 * x,
+            1.0 * y,
+        ][r]
+
+    m.custom_propensity = prop
+    np.testing.assert_allclose(np.asarray(m.propensities(states)), expected, rtol=1e-13)
+
+
 def test_custom_propensity_override():
     # parity with the CUSTOMPROP pointer (TestModelParser.f90:63)
     m = load_model(MODELS / "toggle_model.input")
-    m.reset_parameters([1.0, 100.0, 1.0, 1.0])
+    m.reset_parameters([1.0, 100.0, 1.0, 1.0, 100.0, 1.0])
 
     def custom(states, r, p):
         return states[:, 0] * 0 + float(r + 1)

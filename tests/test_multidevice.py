@@ -25,8 +25,7 @@ from krylovfspssa_tpu.statespace.table import StateTable
 
 
 def _toggle_op(capacity=512, grid=18):
-    model = toggle_file_model()
-    model.reset_parameters([1.0, 100.0, 1.0, 1.0])
+    model = toggle_file_model()  # TestSolverFromFile values preset
     xs, ys = np.meshgrid(np.arange(grid), np.arange(grid), indexing="ij")
     states = np.stack([xs.ravel(), ys.ravel()], axis=1).astype(np.int32)
     enc = StateEncoder.for_model(2, 10_000)

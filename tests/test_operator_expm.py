@@ -100,7 +100,7 @@ def test_succ_structures():
     # death moves from (0,*) in species X are illegal
     for i, s in enumerate(states):
         if s[0] == 0:
-            assert not legal[i, 2]  # reaction 2: X -> 0
+            assert not legal[i, 1]  # reaction 1: X -> 0
         # production successor x+e_x at the boundary is absent (not illegal)
         if s[0] == 2:
             assert legal[i, 0] and succ_idx[i, 0] == -1

@@ -74,8 +74,9 @@ def compare_to_oracle(result, states_oracle, p_oracle, tol):
 
 @pytest.mark.parametrize("t,fsp_tol", [(1.0, 1e-4), (10.0, 1e-4)])
 def test_toggle_vs_dense_oracle(t, fsp_tol):
+    # the 6-parameter basal toggle at the TestSolverFromFile.f90:31 values
+    # [1,100,1,1,100,1] (preset by the constructor)
     model = toggle_file_model()
-    model.reset_parameters([1.0, 100.0, 1.0, 1.0])  # TestSolverFromFile values
     res = solve_cme(
         model,
         t,
@@ -88,8 +89,9 @@ def test_toggle_vs_dense_oracle(t, fsp_tol):
     assert res.wsum <= 1.0 + 1e-12
     assert res.wsum >= 1.0 - fsp_tol
 
-    box = (25, 190)  # X stays tiny; Y ~ Poisson(100) needs a deep tail
-    # because boundary outflow (rate ~100) leaks mass over long horizons
+    # both arms of the bistable toggle are populated: X production peaks at
+    # bx+kx/2=51 (Y small), Y production at by+ky=101 (X small)
+    box = (110, 200)
     states_o, p_o = dense_solution(model, box, (0, 0), t)
     assert p_o.sum() > 1.0 - 1e-9  # box truly captures the mass
     diff, missing = compare_to_oracle(res, states_o, p_o, fsp_tol)
