@@ -29,8 +29,32 @@ import time
 
 import numpy as np
 
-#: approximate HBM bandwidth per chip (TPU v5e ~ 819 GB/s)
-HBM_BW = {"tpu": 819e9, "axon": 819e9, "cpu": 100e9}
+#: approximate HBM bandwidth per chip, by TPU generation.  Keyed by
+#: substrings of jax.Device.device_kind; fall back to v5e if unknown.
+HBM_BW_BY_KIND = {
+    "v5 lite": 819e9,  # v5e
+    "v5e": 819e9,
+    "v5p": 2765e9,
+    "v4": 1228e9,
+    "v6": 1640e9,  # v6e (Trillium)
+    "v3": 900e9,
+}
+
+
+def hbm_bw(backend: str) -> float:
+    """Per-chip HBM bandwidth for the roofline; resolved from the actual
+    device kind so the percentage does not silently mis-scale on non-v5e
+    hardware (round-3 advisor note on the old 819 GB/s constant)."""
+    if backend == "cpu":
+        return 100e9
+    import jax
+
+    kind = jax.devices()[0].device_kind.lower()
+    for k, bw in HBM_BW_BY_KIND.items():
+        if k in kind:
+            return bw
+    log(f"unknown device kind {kind!r}; assuming v5e HBM bandwidth")
+    return 819e9
 
 
 def log(msg):
@@ -98,7 +122,7 @@ def main():
         from krylovfspssa_tpu.ops.stencil import make_stencil_matvec
 
         platform = jax.devices()[0].platform
-        bw = HBM_BW.get(platform, HBM_BW["cpu"])
+        bw = hbm_bw("cpu" if platform == "cpu" else "tpu")
         log(f"devices: {jax.devices()} (first-op init can take minutes on axon)")
 
         scale = int(os.environ.get("BENCH_SCALE", 64))

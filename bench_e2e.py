@@ -64,7 +64,7 @@ def get_model(factory: str):
     return getattr(library, factory)()
 
 
-def child(name: str, dtype: str):
+def child(name: str, dtype: str, backend: str = "box"):
     """One fresh-process measurement: first solve (time-to-first-result
     under whatever cache state the parent arranged) + second solve
     (warm-jit steady state).  Prints one JSON line."""
@@ -72,13 +72,17 @@ def child(name: str, dtype: str):
 
     from krylovfspssa_tpu.boxsolver import BoxCmeSolver
     from krylovfspssa_tpu.config import SolverConfig
+    from krylovfspssa_tpu.solver import CmeSolver
 
     factory, t, fsp_tol, krylov_tol, x0 = SCENARIOS[name]
     model = get_model(factory)
     cfg = SolverConfig(dtype=dtype)
     if dtype == "float32" and fsp_tol < cfg.f32_min_fsp_tol():
         fsp_tol = 2e-5  # tightest round tolerance f32 certifies
-    solver = BoxCmeSolver(model, cfg)
+    solver = (
+        CmeSolver(model, cfg) if backend == "table" else
+        BoxCmeSolver(model, cfg)
+    )
 
     def solve():
         return solver.solve(t, x0, fsp_tol=fsp_tol, krylov_tol=krylov_tol)
@@ -99,16 +103,18 @@ def child(name: str, dtype: str):
         "nstep": res.stats.nstep,
         "nmult": res.stats.nmult,
         "nreject": res.stats.nreject,
+        "backend": backend,
         "platform": jax.devices()[0].platform,
     }
     print("CHILD " + json.dumps(rec), flush=True)
 
 
-def run_child(name: str, dtype: str, cache_dir: str) -> dict:
+def run_child(name: str, dtype: str, cache_dir: str, backend: str) -> dict:
     env = dict(os.environ, KFS_COMPILE_CACHE_DIR=cache_dir)
     env.pop("JAX_COMPILATION_CACHE_DIR", None)
     out = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--child", name, dtype],
+        [sys.executable, os.path.abspath(__file__), "--child", name, dtype,
+         backend],
         env=env, capture_output=True, text=True, timeout=CHILD_TIMEOUT_S,
         cwd=os.path.dirname(os.path.abspath(__file__)),
     )
@@ -120,25 +126,25 @@ def run_child(name: str, dtype: str, cache_dir: str) -> dict:
     )
 
 
-def run(name: str, dtype: str):
+def run(name: str, dtype: str, backend: str = "box"):
     with tempfile.TemporaryDirectory(prefix="kfs_bench_cache_") as cache:
         t0 = time.time()
-        r_cold = run_child(name, dtype, cache)  # empty persistent cache
-        log(f"{name}/{dtype} cold child: {time.time()-t0:.1f}s "
+        r_cold = run_child(name, dtype, cache, backend)  # empty cache
+        log(f"{name}/{dtype}/{backend} cold child: {time.time()-t0:.1f}s "
             f"(first solve {r_cold['first_s']}s)")
         t0 = time.time()
-        r_warm = run_child(name, dtype, cache)  # populated cache
-        log(f"{name}/{dtype} warm child: {time.time()-t0:.1f}s")
+        r_warm = run_child(name, dtype, cache, backend)  # populated cache
+        log(f"{name}/{dtype}/{backend} warm child: {time.time()-t0:.1f}s")
 
     rec = {
-        "metric": f"e2e_solve_{name}_{dtype}",
+        "metric": f"e2e_solve_{name}_{dtype}_{backend}",
         "value": r_warm["warm_s"],
         "unit": "s",
         "cold_s": r_cold["first_s"],
         "warmdisk_s": r_warm["first_s"],
         **{k: r_warm[k] for k in (
             "fsp_tol", "wsum", "fsp_size", "nstep", "nmult", "nreject",
-            "platform",
+            "backend", "platform",
         )},
     }
     print(json.dumps(rec), flush=True)
@@ -147,17 +153,25 @@ def run(name: str, dtype: str):
 
 def main():
     if len(sys.argv) >= 2 and sys.argv[1] == "--child":
-        child(sys.argv[2], sys.argv[3])
+        child(sys.argv[2], sys.argv[3],
+              sys.argv[4] if len(sys.argv) > 4 else "box")
         return
-    names = sys.argv[1:] or ["toggle", "goutsias"]
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    backends = (
+        ("table", "box") if "--both-backends" in sys.argv else ("table",)
+    )
+    names = args or ["toggle", "goutsias"]
     for name in names:
         for dtype in ("float64", "float32"):
-            t0 = time.time()
-            try:
-                run(name, dtype)
-            except Exception as e:  # noqa: BLE001
-                log(f"{name}/{dtype} FAILED: {type(e).__name__}: {e}")
-            log(f"{name}/{dtype}: total {time.time()-t0:.1f}s")
+            for backend in backends:
+                t0 = time.time()
+                try:
+                    run(name, dtype, backend)
+                except Exception as e:  # noqa: BLE001
+                    log(f"{name}/{dtype}/{backend} FAILED: "
+                        f"{type(e).__name__}: {e}")
+                log(f"{name}/{dtype}/{backend}: "
+                    f"total {time.time()-t0:.1f}s")
 
 
 if __name__ == "__main__":

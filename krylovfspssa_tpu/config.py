@@ -176,6 +176,22 @@ class SolverConfig:
         """Tightest fsp_tol a float32 solve will certify."""
         return self.f32_min_fsp_tol_mult * self.f32_criterion_floor()
 
+    def f32_min_krylov_tol(self) -> float:
+        """Tightest krylov_tol float32 can honestly pursue: 32 x eps32
+        (~3.8e-6).  A float32 Krylov basis carries O(eps32) representation
+        noise per component, so the local-error estimate floors near eps32
+        regardless of tau; a tighter target makes the Niesen-Wright
+        controller shrink tau against that floor without gaining accuracy
+        (round-3 finding: toggle t=1000 took 2846 steps at krylov_tol
+        1e-10 vs 64 in float64; at 4e-6 it takes 742).  The floor is NOT
+        the reference's sqrt(eps) rule (KrylovSolver.f90:171) evaluated at
+        eps32: sqrt(eps32) ~ 3.5e-4 was measured to overshoot — the
+        controller then picks steps so large that the per-step SSA
+        expansion horizon (t_ssa ~ t_new, KrylovSolver.f90:520-521) grows
+        the state space past its volume cap before the FSP criterion can
+        settle (box-overflow on the toggle t=1000 run)."""
+        return 32.0 * 1.1920928955078125e-07
+
     def resolved_dtype(self) -> str:
         """Concrete dtype for this process' default backend."""
         if self.dtype != "auto":
@@ -201,7 +217,10 @@ DEFAULT_CONFIG = SolverConfig()
 
 
 def resolve_solve_dtype(
-    config: SolverConfig, fsp_tol: float, backend: str | None = None
+    config: SolverConfig,
+    fsp_tol: float,
+    backend: str | None = None,
+    krylov_tol: float | None = None,
 ) -> str:
     """Concrete solve dtype honoring the float32 tolerance contract.
 
@@ -213,6 +232,15 @@ def resolve_solve_dtype(
 
       * ``dtype="auto"`` (the production default) falls back to float64,
       * explicit ``dtype="float32"`` raises ``ValueError``.
+
+    ``krylov_tol`` below ``config.f32_min_krylov_tol()`` (~3.5e-4) also
+    demotes ``"auto"`` to float64: float32 cannot pursue such a local
+    error target (the estimate floors at basis noise and the controller
+    responds with a ~40x step-count explosion — BASELINE.md round-3).
+    Under explicit ``dtype="float32"`` the solvers instead CLAMP
+    krylov_tol to the floor, with a warning (the reference's own
+    below-eps tolerance floor, KrylovSolver.f90:171, applied at the
+    working precision).
     """
     if backend is None:
         import jax
@@ -230,4 +258,30 @@ def resolve_solve_dtype(
             "f32 criterion noise floor); use dtype='float64' or "
             "dtype='auto', or loosen fsp_tol"
         )
+    if (
+        dt == "float32"
+        and config.dtype == "auto"
+        and krylov_tol is not None
+        and krylov_tol < config.f32_min_krylov_tol()
+    ):
+        return "float64"
     return dt
+
+
+def clamp_f32_krylov_tol(config: SolverConfig, krytol: float) -> float:
+    """Floor krylov_tol at the float32-achievable minimum (explicit
+    float32 mode only), with a loud warning — see
+    :meth:`SolverConfig.f32_min_krylov_tol`."""
+    floor = config.f32_min_krylov_tol()
+    if krytol < floor:
+        import warnings
+
+        warnings.warn(
+            f"krylov_tol={krytol:g} is below the float32-achievable floor; "
+            f"clamped to {floor:g} (32 x eps32 — the f32 basis noise "
+            "scale; see SolverConfig.f32_min_krylov_tol).  Use "
+            "dtype='float64' for tighter local error.",
+            stacklevel=3,
+        )
+        return floor
+    return krytol

@@ -1,4 +1,4 @@
-"""Top-level Krylov-FSP-SSA CME solver.
+"""Top-level Krylov-FSP-SSA CME solver (table backend).
 
 Host-side orchestration of the device kernels, replicating
 ``CME_SOLVE``/``DGEXPV_FSP`` (``/root/reference/src/fsp/
@@ -6,16 +6,24 @@ KrylovSolver.f90:7-653``):
 
   * initialization: seed states, operator assembly, 5 rounds of 1-step
     reachability (KrylovSolver.f90:130-134), first step size;
-  * the time loop: each iteration is ONE jit-compiled attempted step (all
-    Krylov/FSP rejection handling on device — see krylov/stepper.py); the
-    host only reacts to step *outcomes*:
-      - drop surplus probability mass (DROP_STATES, with inflow guard),
-      - expand the state set (SSA walks + 1-step reachability) and rebuild
-        the operator,
+  * the main loop (default, ``config.fused_steps``): up to
+    ``max_steps_per_call`` attempted steps run inside ONE jitted
+    ``lax.while_loop`` dispatch (krylov/advance.py
+    make_table_advance_fn), with DROP_STATES applied inline as a
+    soft row mask; the host re-enters only to
+      - run SSA + 1-step expansion and rebuild the operator
+        (the state-table mutation is host-side by design),
+      - stream step records / write checkpoints,
       - stop at t_out.
+    With ``fused_steps=False`` each attempted step is one device call
+    (the round-3 structure; kept for debugging and latency-insensitive
+    backends).
 
-The state set lives in bucketed-capacity device arrays, so jitted programs
-recompile only on capacity-bucket growth (log2 many times per solve).
+The state table itself is pure host (numpy + native hash) bookkeeping;
+device consumers receive its arrays as jit arguments.  Capacities are
+bucketed powers of two, so jitted programs recompile only on bucket
+growth (log2 many times per solve), and the next bucket's executables
+are pre-compiled in a background thread while stepping.
 """
 
 from __future__ import annotations
@@ -28,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import SolverConfig, resolve_solve_dtype
+from .config import SolverConfig, clamp_f32_krylov_tol, resolve_solve_dtype
 from .krylov.stepper import EPS, initial_carry, make_step_fn
 from .models.model import Model
 from .ops.operator import build_operator
@@ -219,6 +227,72 @@ class CmeSolver:
                 )
         return self._steps[key]
 
+    def _warm_next_bucket(self, capacity: int, budget: int):
+        """Pre-compile the fused advance + operator build for the NEXT
+        capacity bucket in a daemon thread, overlapping the (remote) XLA
+        compile with on-device stepping — the same latency lever as the
+        box backend's _warm_cache_async (round-3: each foreground bucket
+        compile on the remote backend costs tens of seconds)."""
+        if jax.default_backend() == "cpu":
+            return
+        cfg = self.config
+        nxt = capacity * cfg.capacity_growth
+        if cfg.max_states is not None and capacity >= cfg.max_states:
+            return
+        key = ("warm", nxt, budget, self._dtype)
+        if key in self._steps:
+            return
+        self._steps[key] = True
+        import threading
+
+        dt = self._dtype
+        R = self.model.n_reactions
+        d = self.model.n_species
+        W = self.encoder.n_words
+        build_op = self._build_op
+        steps_dict = self._steps
+
+        def work():
+            try:
+                from .ops.operator import CmeOperator
+
+                sds = jax.ShapeDtypeStruct
+                key_shape = (nxt,) if W == 1 else (nxt, W)
+                op_aval = CmeOperator(
+                    diag=sds((nxt,), dt),
+                    pred_idx=sds((nxt, R), jnp.int32),
+                    pred_prop=sds((nxt, R), dt),
+                    props=sds((nxt, R), dt),
+                    succ_idx=sds((nxt, R), jnp.int32),
+                    succ_legal=sds((nxt, R), jnp.bool_),
+                    n=sds((), jnp.int32),
+                )
+                carry_aval = jax.tree.map(
+                    lambda x: sds(jnp.shape(x), jnp.asarray(x).dtype),
+                    initial_carry(1.0, 1.0, 1e-8, 1.0, self.config.m_min),
+                )
+                scal = sds((), jnp.float64)
+                adv = self._advance(nxt, budget)
+                adv.lower(
+                    op_aval,
+                    sds((nxt,), dt),
+                    sds((nxt,), jnp.bool_),
+                    carry_aval,
+                    scal,
+                    scal,
+                    scal,
+                ).compile()
+                build_op.lower(
+                    sds((nxt, d), jnp.int32),
+                    sds(key_shape, jnp.int64),
+                    sds((nxt,), jnp.int32),
+                    sds((), jnp.int32),
+                ).compile()
+            except Exception:  # noqa: BLE001 — warming is best-effort
+                steps_dict.pop(key, None)
+
+        threading.Thread(target=work, daemon=True).start()
+
     def _step(self, op, w, *args):
         """Jitted single attempted step for the current capacity."""
         cfg = self.config
@@ -307,7 +381,13 @@ class CmeSolver:
             (states_ck, w_ck, carry, t, fsp_tol, krytol, rng_state) = (
                 load_table_checkpoint(resume_from)
             )
-            self._set_dtype(resolve_solve_dtype(cfg, float(fsp_tol)))
+            self._set_dtype(
+                resolve_solve_dtype(
+                    cfg, float(fsp_tol), krylov_tol=float(krytol)
+                )
+            )
+            if self._dtype == jnp.float32:
+                krytol = clamp_f32_krylov_tol(cfg, float(krytol))
             table = StateTable.from_states(
                 states_ck, self.encoder, cfg.init_capacity, cfg.max_states
             )
@@ -318,7 +398,11 @@ class CmeSolver:
         else:
             if initial_states is None:
                 raise ValueError("initial_states required unless resuming")
-            self._set_dtype(resolve_solve_dtype(cfg, float(fsp_tol)))
+            self._set_dtype(
+                resolve_solve_dtype(
+                    cfg, float(fsp_tol), krylov_tol=float(krylov_tol)
+                )
+            )
             init = np.atleast_2d(np.asarray(initial_states, dtype=np.int32))
             if p0 is None:
                 p0 = np.zeros(init.shape[0])
@@ -344,6 +428,8 @@ class CmeSolver:
             krytol = float(krylov_tol)
             if krytol <= EPS:
                 krytol = float(np.sqrt(EPS))
+            if self._dtype == jnp.float32:
+                krytol = clamp_f32_krylov_tol(cfg, krytol)
 
             beta = float(np.linalg.norm(w_np))
             if beta == 0.0:
@@ -555,6 +641,7 @@ class CmeSolver:
         active = make_active()
         while True:
             adv = self._advance(table.capacity, budget)
+            self._warm_next_bucket(table.capacity, budget)
             seg0 = time.perf_counter()
             st = adv(op, w, active, carry, t_out, fsptol_j, krytol_j)
             w, active, carry = st.w, st.active, st.carry
