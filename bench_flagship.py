@@ -63,7 +63,7 @@ def main():
         krylov_tol=args.krylov_tol,
         checkpoint_path=CKPT,
         checkpoint_every=10,
-        verbosity=1,
+        verbosity=2,
     )
     if args.resume and os.path.exists(CKPT):
         res = solver.solve(args.t, resume_from=CKPT, **kw)

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .boxspace.box import BoxSpace
-from .config import SolverConfig, clamp_f32_krylov_tol, resolve_solve_dtype
+from .config import SolverConfig, resolve_solve_dtype
 from .krylov.stepper import EPS, initial_carry, make_step_fn
 from .models.model import Model
 from .ops.stencil import active_touches_face, dilate_mask
@@ -383,8 +383,6 @@ class BoxCmeSolver:
                     cfg, float(fsp_tol), krylov_tol=float(krytol)
                 )
             )
-            if self._dtype == jnp.float32:
-                krytol = clamp_f32_krylov_tol(cfg, float(krytol))
             mask = self._put_row(mask_np)
             w = self._put_row(w_np, self._dtype)
         else:
@@ -425,8 +423,6 @@ class BoxCmeSolver:
             krytol = float(krylov_tol)
             if krytol <= EPS:
                 krytol = float(np.sqrt(EPS))
-            if self._dtype == jnp.float32:
-                krytol = clamp_f32_krylov_tol(cfg, krytol)
 
             beta = float(np.linalg.norm(w_np))
             if beta == 0.0:

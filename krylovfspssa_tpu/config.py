@@ -211,6 +211,11 @@ class SolverConfig:
     #: take at most this many accepted steps inside one jitted device loop
     #: before returning control to the host (bounds host-sync latency)
     max_steps_per_call: int = 1_000
+    #: pre-compile the table backend's next capacity bucket in a daemon
+    #: thread while stepping.  OFF by default: on the remote TPU backend a
+    #: concurrent background compile was observed to corrupt in-flight
+    #: execution (see CmeSolver._warm_next_bucket).
+    warm_next_bucket: bool = False
 
 
 DEFAULT_CONFIG = SolverConfig()

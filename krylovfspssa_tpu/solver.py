@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .config import SolverConfig, clamp_f32_krylov_tol, resolve_solve_dtype
+from .config import SolverConfig, resolve_solve_dtype
 from .krylov.stepper import EPS, initial_carry, make_step_fn
 from .models.model import Model
 from .ops.operator import build_operator
@@ -232,7 +232,18 @@ class CmeSolver:
         capacity bucket in a daemon thread, overlapping the (remote) XLA
         compile with on-device stepping — the same latency lever as the
         box backend's _warm_cache_async (round-3: each foreground bucket
-        compile on the remote backend costs tens of seconds)."""
+        compile on the remote backend costs tens of seconds).
+
+        DISABLED by default (config.warm_next_bucket): on the remote
+        'axon' backend a background compile running concurrently with
+        main-thread execution was observed to corrupt in-flight device
+        state (round-4 flagship: wsum collapsed 1.0 -> 0.08 two segments
+        after the warm thread started compiling the next bucket; the
+        identical trajectory is healthy with the thread off and on CPU).
+        Enable only on backends whose client is known compile-safe under
+        concurrency."""
+        if not self.config.warm_next_bucket:
+            return
         if jax.default_backend() == "cpu":
             return
         cfg = self.config
@@ -386,8 +397,6 @@ class CmeSolver:
                     cfg, float(fsp_tol), krylov_tol=float(krytol)
                 )
             )
-            if self._dtype == jnp.float32:
-                krytol = clamp_f32_krylov_tol(cfg, float(krytol))
             table = StateTable.from_states(
                 states_ck, self.encoder, cfg.init_capacity, cfg.max_states
             )
@@ -428,8 +437,6 @@ class CmeSolver:
             krytol = float(krylov_tol)
             if krytol <= EPS:
                 krytol = float(np.sqrt(EPS))
-            if self._dtype == jnp.float32:
-                krytol = clamp_f32_krylov_tol(cfg, krytol)
 
             beta = float(np.linalg.norm(w_np))
             if beta == 0.0:
@@ -693,13 +700,28 @@ class CmeSolver:
                 # (KrylovSolver.f90:516-534)
                 n_before = table.n
                 w_np = np.asarray(w, dtype=np.float64)[: table.n]
+                # device-state invariant: every path out of the stepper
+                # leaves ~unit mass (accepted steps satisfy the FSP
+                # criterion; abandoned steps revert to beta*v1).  A gross
+                # violation means the device state was corrupted (e.g. a
+                # second client on a remote TPU tunnel) — fail loudly
+                # instead of spiraling through ever-larger expansions.
+                wsum_host = float(w_np.sum())
+                if not (0.5 < wsum_host < 1.5):
+                    raise RuntimeError(
+                        f"probability mass {wsum_host:.6g} at a host "
+                        f"re-entry (t={float(carry.t_now):g}, n={table.n}, "
+                        f"capacity={table.capacity}) — device state "
+                        "corrupted; on remote TPU backends check for a "
+                        "concurrent process on the tunnel"
+                    )
                 compacted = not keep.all()
                 if compacted:
                     w_kept = w_np[keep]
                     table, _ = table.compact(keep)
                     w_np = _repad(w_kept, table.capacity)
                 rng, sub = jax.random.split(rng)
-                table, _ = ssa_extend(
+                table, added_ssa = ssa_extend(
                     table,
                     self._props_fn,
                     self._stoich,
@@ -708,7 +730,18 @@ class CmeSolver:
                     cfg.ssa_max_steps,
                     cfg.max_states,
                 )
-                table, _ = onestep_extend(table, self._stoich, cfg.max_states)
+                table, added_1s = onestep_extend(
+                    table, self._stoich, cfg.max_states
+                )
+                if verbosity >= 2:
+                    print(
+                        f"EXPAND t={float(carry.t_now):g} wsum={wsum_host:.9f}"
+                        f" n {n_before}->{table.n} (+{added_ssa} ssa, "
+                        f"+{added_1s} 1-step) cap {table.capacity} "
+                        f"t_ssa={float(st.t_ssa):g}"
+                        + (" [compacted]" if compacted else ""),
+                        flush=True,
+                    )
                 if compacted or table.n != n_before or table.capacity != len(
                     np.asarray(w)
                 ):
