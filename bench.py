@@ -141,6 +141,7 @@ def main():
                 make_pallas_stencil_matvec_v3,
                 make_pallas_stencil_matvec_v4,
                 make_pallas_stencil_matvec_v5,
+                make_pallas_stencil_matvec_v6,
                 pallas_applicable,
             )
 
@@ -161,6 +162,9 @@ def main():
                 mv5 = make_pallas_stencil_matvec_v5(model, box)
                 if mv5 is not None:
                     variants.append(("pallas-v5-f32", jnp.float32, mv5))
+                mv6 = make_pallas_stencil_matvec_v6(model, box)
+                if mv6 is not None:
+                    variants.append(("pallas-v6-f32", jnp.float32, mv6))
         except Exception as e:  # noqa: BLE001
             log(f"pallas variant unavailable: {e}")
 

@@ -1146,6 +1146,331 @@ def make_pallas_stencil_matvec_v5(
     return matvec
 
 
+def make_pallas_stencil_matvec_v6(
+    model: Model,
+    box: BoxSpace,
+    block_rows: int = 2048,
+    interpret: bool = False,
+    pattern_vmem_bytes: int = 4 << 20,
+    _ablate: frozenset = frozenset(),
+):
+    """Sixth-generation stencil kernel: scalarized row factors, tile loop.
+
+    The v5 ablation left the remaining time spread across per-reaction
+    in-kernel row factors (expression evaluation + (B, 1) broadcast
+    multiplies — on the VPU a (B, 1) op costs as much as a full (B, 128)
+    pass), the lane-shift concats, and broadcast materialization of the
+    periodic patterns.  v6 removes all three:
+
+    * **scalarized row factors** — a row species s has its coordinate
+      constant over runs of ``2^(shifts[s]-7)`` consecutive rows.  When
+      every row species' run length is >= the pattern tile height T
+      (true on the flagship Goutsias geometry: the one row species D has
+      run 512 = T), the whole row-factor product of reaction k collapses
+      to ONE scalar per (reaction, T-row tile), precomputed per geometry
+      into a tiny ``(R, rows/T)`` SMEM table with FSP validity baked in
+      (reference ADJ=-1 semantics, StateSpace.f90:235).  All in-kernel
+      expression evaluation and (B, 1) broadcasts disappear; the scalar
+      rides the pattern multiply as a free VPU scalar operand;
+    * **per-tile fused loop** — the block is processed as B/T tiles of
+      exactly one pattern period, so the pattern multiplies never
+      materialize a broadcast copy: every op is a (T, 128) fused
+      multiply-add on VMEM-resident operands;
+    * **block-wide rolled strips for every nonzero lane roll** (v5 only
+      shared them between >= 2 reactions): each distinct roll builds its
+      lane-misaligned concat once per block and every tile slices it;
+    * **pre-negated streamed diagonal** — the total-outflow field is
+      shipped as -D so the accumulator initializes with a single
+      multiply (reference DIAG, StateSpace.f90:211-212).
+
+    Same zero-copy input and double-buffered window DMA as v4/v5, same
+    ``supp(x) ⊆ mask`` caller contract.  Returns None when the model is
+    not separable or a row species' run is shorter than the tile (callers
+    fall back to v5).  Reference semantics: FMATVEC
+    (/root/reference/src/fsp/KrylovSolver.f90:577-607).
+    """
+    from ..models.factorize import factorize_model, shifted_factor_table
+
+    facts = factorize_model(model)
+    if facts is None:
+        return None
+
+    stoich = np.asarray(box.stoichiometry, dtype=np.int64)
+    R = stoich.shape[0]
+    vol = box.volume
+    if vol % LANES != 0:
+        return None
+    rows_tot = vol // LANES
+    shifts = [int(sh) for sh in box.shift_of_species]
+    bits = [int(b) for b in box.bits_of_species]
+    exts = [1 << b for b in bits]
+
+    s_off = [-int(o) for o in np.asarray(box.offsets)]
+    q = [so // LANES for so in s_off]
+    r = [so - LANES * qq for so, qq in zip(s_off, q)]
+    qmin = min(q + [0])
+    qmax = max(q + [0])
+
+    qmin_al = (qmin // 8) * 8
+    c0 = -qmin_al
+    blk = _choose_block(rows_tot, qmin_al, qmax, block_rows)
+    if blk is None:
+        return None
+    B, WR, lead, excess = blk
+    n_blocks = rows_tot // B
+
+    # ---- deepest pattern fold whose row factors are tile-constant --------
+    def _placement(logp):
+        placements, pmax = [], 1
+        for k in range(R):
+            relevant = set(facts[k].factors) | {
+                int(s) for s in np.nonzero(stoich[k])[0]
+            }
+            pat, row = [], []
+            for s in sorted(relevant):
+                if shifts[s] + bits[s] <= 7 + logp:
+                    pat.append(s)
+                elif shifts[s] >= 7:
+                    row.append(s)
+                else:
+                    return None, None
+                if s in pat:
+                    pmax = max(pmax, 1 << max(0, shifts[s] + bits[s] - 7))
+            placements.append((pat, row))
+        return placements, pmax
+
+    chosen = None
+    for logp in range(int(np.log2(B)), -1, -1):
+        placements, Pmax = _placement(logp)
+        if placements is None or Pmax > B:
+            continue
+        T = max(Pmax, 8)
+        if T > B or B % T:
+            continue
+        if R * T * LANES * 4 > pattern_vmem_bytes:
+            continue
+        if all(
+            shifts[s] - 7 >= int(np.log2(T))
+            for _pat, row in placements
+            for s in row
+        ):
+            chosen = (placements, Pmax, T)
+            break
+    if chosen is None:
+        return None
+    placements, Pmax, T = chosen
+    tpb = B // T
+    n_tiles = rows_tot // T
+
+    # ---- precomputed inflow patterns (f64 build, f32 ship) ---------------
+    pgrid = np.arange(T)[:, None] * LANES + np.arange(LANES)[None, :]
+    patU = np.zeros((R, T, LANES), dtype=np.float64)
+    for k, (pat, _row) in enumerate(placements):
+        u = np.full((T, LANES), facts[k].const, dtype=np.float64)
+        for s in pat:
+            cs = (pgrid >> shifts[s]) & (exts[s] - 1)
+            u *= shifted_factor_table(
+                facts[k], s, exts[s], int(stoich[k, s]), model
+            )[cs]
+        patU[k] = u
+    patU_f32 = jnp.asarray(patU, jnp.float32)
+
+    # ---- per-(reaction, tile) row-factor scalars (f64 build) -------------
+    trow = np.arange(n_tiles) * T
+    scal = np.ones((R, n_tiles), dtype=np.float64)
+    has_scal = [False] * R
+    for k, (_pat, row) in enumerate(placements):
+        for s in row:
+            c = (trow >> (shifts[s] - 7)) & (exts[s] - 1)
+            scal[k] *= shifted_factor_table(
+                facts[k], s, exts[s], int(stoich[k, s]), model
+            )[c]
+        has_scal[k] = bool(row) and not np.all(scal[k] == 1.0)
+    scal_f32 = jnp.asarray(scal, jnp.float32)
+
+    # ---- pre-negated streamed diagonal (device-built once per geometry) --
+    from .stencil import make_diag_fn
+
+    diag_fn = make_diag_fn(model, box, jnp.float64)
+    Dneg_f32 = jax.jit(
+        lambda: (-diag_fn(jnp.ones((vol,), bool))).astype(jnp.float32)
+    )().reshape(rows_tot, LANES)
+
+    # one rolled strip per distinct nonzero lane roll, shared by every
+    # reaction (and tile) using that roll
+    _byr: dict = {}
+    for k in range(R):
+        if r[k]:
+            _byr.setdefault(r[k], []).append(k)
+    roll_groups = {
+        rr: (min(q[k] for k in ks), max(q[k] for k in ks))
+        for rr, ks in _byr.items()
+        if max(q[k] for k in ks) - min(q[k] for k in ks) <= 8
+    }
+
+    def kernel(x_ref, scal_ref, mc_ref, nd_ref, pu_ref, y_ref, win, sem):
+        i = pl.program_id(0).astype(jnp.int32)
+        nb = pl.num_programs(0)
+
+        def start_dma(j, slot):
+            @pl.when(j == 0)
+            def _():
+                if lead:
+                    win[slot, :lead, :] = jnp.zeros(
+                        (lead, LANES), jnp.float32
+                    )
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).start()
+
+            if n_blocks > 2:  # middle windows exist (static guard)
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).start()
+
+            @pl.when(j == nb - 1)
+            def _():
+                if excess:
+                    win[slot, WR - excess :, :] = jnp.zeros(
+                        (excess, LANES), jnp.float32
+                    )
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_tot - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).start()
+
+        def wait_dma(j, slot):
+            @pl.when(j == 0)
+            def _():
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).wait()
+
+            if n_blocks > 2:
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).wait()
+
+            @pl.when(j == nb - 1)
+            def _():
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_tot - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).wait()
+
+        @pl.when(i == 0)
+        def _():
+            start_dma(jnp.int32(0), jnp.int32(0))
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nslot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i + 1 < nb)
+        def _():
+            start_dma(i + jnp.int32(1), nslot)
+
+        wait_dma(i, slot)
+
+        rolled = {}
+        if "no_shift" not in _ablate:
+            for rr, (qlo, qhi) in roll_groups.items():
+                g0 = c0 + qlo
+                srows = B + (qhi - qlo)
+                hi = win[slot, g0 : g0 + srows, rr:]
+                lo = win[slot, g0 + 1 : g0 + srows + 1, :rr]
+                rolled[rr] = (jnp.concatenate([hi, lo], axis=1), qlo)
+
+        for t in range(tpb):
+            r0 = t * T
+            center = win[slot, c0 + r0 : c0 + r0 + T, :]
+            acc = nd_ref[r0 : r0 + T, :] * center
+            for k in range(R if "one_term" not in _ablate else 1):
+                base = c0 + q[k] + r0
+                if r[k] == 0 or "no_shift" in _ablate:
+                    shifted = win[slot, base : base + T, :]
+                elif r[k] in rolled:
+                    strip, qlo = rolled[r[k]]
+                    o = q[k] - qlo + r0
+                    shifted = strip[o : o + T, :]
+                else:
+                    hi = win[slot, base : base + T, r[k] :]
+                    lo = win[slot, base + 1 : base + T + 1, : r[k]]
+                    shifted = jnp.concatenate([hi, lo], axis=1)
+                if "no_pattern" in _ablate:
+                    term = shifted
+                else:
+                    p = pu_ref[k]
+                    if has_scal[k] and "no_scal" not in _ablate:
+                        p = p * scal_ref[k, i * jnp.int32(tpb) + t]
+                    term = p * shifted
+                acc = acc + term
+            if "no_mask" in _ablate:
+                y_ref[r0 : r0 + T, :] = acc
+            else:
+                y_ref[r0 : r0 + T, :] = jnp.where(
+                    mc_ref[r0 : r0 + T, :] != 0, acc, 0.0
+                )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (R, T, LANES),
+                lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_tot, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, WR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+
+    def matvec(mask, x):
+        xm = x.astype(jnp.float32).reshape(rows_tot, LANES)
+        m8 = mask.astype(jnp.int8).reshape(rows_tot, LANES)
+        y = call(xm, scal_f32, m8, Dneg_f32, patU_f32)
+        return y.reshape(vol)
+
+    # introspection for tests/benchmark ablations
+    matvec._pmax = Pmax
+    matvec._tile = T
+    matvec._placements = placements
+    matvec._block_rows = B
+    matvec._has_scal = has_scal
+    return matvec
+
+
 def make_pallas_local_matvec_v5(
     model: Model,
     box: BoxSpace,

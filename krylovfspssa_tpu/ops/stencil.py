@@ -294,16 +294,19 @@ def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype,
             make_pallas_stencil_matvec_v3,
             make_pallas_stencil_matvec_v4,
             make_pallas_stencil_matvec_v5,
+            make_pallas_stencil_matvec_v6,
             pallas_applicable,
         )
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use == "always" or (on_tpu and pallas_applicable(box)):
-            # v5/v4 (zero-copy input, overlapped DMA) assume supp(x) ⊆ mask
-            # — an invariant of the Krylov iteration (every Arnoldi vector
-            # is a combination of masked matvec outputs; drop/growth
-            # re-mask w)
-            mv = make_pallas_stencil_matvec_v5(model, box)
+            # v6/v5/v4 (zero-copy input, overlapped DMA) assume
+            # supp(x) ⊆ mask — an invariant of the Krylov iteration (every
+            # Arnoldi vector is a combination of masked matvec outputs;
+            # drop/growth re-mask w)
+            mv = make_pallas_stencil_matvec_v6(model, box)
+            if mv is None:
+                mv = make_pallas_stencil_matvec_v5(model, box)
             if mv is None:
                 mv = make_pallas_stencil_matvec_v4(model, box)
             if mv is None:

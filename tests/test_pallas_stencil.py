@@ -228,3 +228,91 @@ def test_pallas_v5_custom_propensity_falls_back():
     model = toggle_programmatic_model()
     box = _grown_box(model, [[0, 0]], 64)
     assert make_pallas_stencil_matvec_v5(model, box) is None
+
+
+@pytest.mark.parametrize(
+    "targets,block_rows",
+    [
+        ([16, 16, 8, 4, 4, 4], 512),
+        ([16, 16, 8, 4, 4, 4], 128),  # tpb > 1 tile loop
+        ([8, 8, 8, 4, 4, 4], 64),
+    ],
+)
+def test_pallas_v6_matches_xla_stencil(targets, block_rows):
+    """Scalarized-row-factor tile-loop kernel vs the XLA stencil.  Same
+    supp(x) ⊆ mask contract as v4/v5."""
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_stencil_matvec_v6,
+    )
+
+    model = goutsias_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[2, 6, 0, 2, 0, 0]])
+    for s, tgt in enumerate(targets):
+        while box.extents[s] < tgt:
+            box = box.grow(s)
+    rng = np.random.default_rng(23)
+    mask = jnp.asarray(rng.random(box.volume) < 0.6)
+    x = jnp.where(mask, jnp.asarray(rng.random(box.volume), jnp.float32), 0)
+    ref = make_stencil_matvec(model, box, jnp.float32)(mask, x)
+    mv = make_pallas_stencil_matvec_v6(
+        model, box, block_rows=block_rows, interpret=True
+    )
+    assert mv is not None, "v6 should apply to the Goutsias geometry"
+    got = mv(mask, x)
+    scale = float(jnp.max(jnp.abs(ref)))
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=2e-6 * scale
+    )
+
+
+def test_pallas_v6_flagship_selection():
+    """On the flagship bench geometry v6 must fold the whole row-factor
+    product into the per-tile scalar table: T = Pmax = 512 (the run
+    length of the one row species D), no in-kernel row factors left.
+    Build-time introspection only — the 4.2M-cell kernel itself runs on
+    TPU via bench.py."""
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_stencil_matvec_v6,
+    )
+
+    model = goutsias_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[2, 6, 0, 2, 0, 0]])
+    for s, tgt in enumerate([64, 64, 16, 4, 4, 4]):
+        while box.extents[s] < tgt:
+            box = box.grow(s)
+    mv = make_pallas_stencil_matvec_v6(model, box, interpret=True)
+    assert mv is not None
+    assert mv._tile == 512 and mv._pmax == 512
+    # v6 has no in-kernel row-factor path: every row species is
+    # scalarized by construction; the 6 reactions touching D carry a
+    # nontrivial per-tile scalar row
+    assert sum(mv._has_scal) == 6
+
+
+def test_pallas_v6_short_run_falls_back():
+    """A row species whose coordinate run is shorter than the pattern
+    tile cannot be scalarized — v6 must refuse (caller falls back to v5,
+    which keeps the in-kernel row-factor path)."""
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_stencil_matvec_v5,
+        make_pallas_stencil_matvec_v6,
+    )
+
+    model = toggle_file_model()
+    box = _grown_box(model, [[0, 0]], 256)  # row species run = 2 rows
+    assert make_pallas_stencil_matvec_v6(
+        model, box, block_rows=16
+    ) is None
+    assert make_pallas_stencil_matvec_v5(
+        model, box, block_rows=16, interpret=True
+    ) is not None
+
+
+def test_pallas_v6_custom_propensity_falls_back():
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_stencil_matvec_v6,
+    )
+
+    model = toggle_programmatic_model()
+    box = _grown_box(model, [[0, 0]], 64)
+    assert make_pallas_stencil_matvec_v6(model, box) is None
