@@ -45,20 +45,41 @@ def main():
         ("full_B2048", frozenset(), 2048),
         ("full_B4096", frozenset(), 4096),
     ]
-    for name, abl, br in cases:
-        try:
-            mv = make_pallas_stencil_matvec_v5(
-                model, box, block_rows=br, _ablate=abl
-            )
-            if mv is None:
-                log(f"{name}: not applicable")
+    v6_cases = [
+        ("v6_full", frozenset(), 2048),
+        ("v6_no_shift", frozenset({"no_shift"}), 2048),
+        ("v6_no_pattern", frozenset({"no_pattern"}), 2048),
+        ("v6_no_scal", frozenset({"no_scal"}), 2048),
+        ("v6_no_mask", frozenset({"no_mask"}), 2048),
+        ("v6_one_term", frozenset({"one_term"}), 2048),
+        ("v6_bare", frozenset({"one_term", "no_shift", "no_pattern",
+                               "no_scal", "no_mask"}), 2048),
+        ("v6_B512", frozenset(), 512),
+        ("v6_B1024", frozenset(), 1024),
+        ("v6_B4096", frozenset(), 4096),
+    ]
+
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_stencil_matvec_v6,
+    )
+
+    only = sys.argv[1] if len(sys.argv) > 1 else None
+    for factory, cs in ((make_pallas_stencil_matvec_v5, cases),
+                        (make_pallas_stencil_matvec_v6, v6_cases)):
+        for name, abl, br in cs:
+            if only and only not in name:
                 continue
-            t0 = time.time()
-            per = time_matvec(mv, mask, x)
-            log(f"{name:12s}: {per*1e3:.3f} ms/matvec  "
-                f"(wall {time.time()-t0:.0f}s)")
-        except Exception as e:  # noqa: BLE001 — e.g. VMEM OOM at big B
-            log(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
+            try:
+                mv = factory(model, box, block_rows=br, _ablate=abl)
+                if mv is None:
+                    log(f"{name}: not applicable")
+                    continue
+                t0 = time.time()
+                per = time_matvec(mv, mask, x)
+                log(f"{name:14s}: {per*1e3:.3f} ms/matvec  "
+                    f"(wall {time.time()-t0:.0f}s)")
+            except Exception as e:  # noqa: BLE001 — e.g. VMEM OOM at big B
+                log(f"{name}: FAILED {type(e).__name__}: {str(e)[:200]}")
 
 
 if __name__ == "__main__":

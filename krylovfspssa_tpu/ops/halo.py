@@ -126,11 +126,18 @@ def make_halo_stencil_matvec(
     if dtype == jnp.float32 and use_pallas != "never":
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if pallas_interpret or use_pallas == "always" or on_tpu:
-            from .pallas_stencil import make_pallas_local_matvec_v5
+            from .pallas_stencil import (
+                make_pallas_local_matvec_v5,
+                make_pallas_local_matvec_v6,
+            )
 
-            pl_local = make_pallas_local_matvec_v5(
+            pl_local = make_pallas_local_matvec_v6(
                 model, box, n_dev, interpret=pallas_interpret
             )
+            if pl_local is None:
+                pl_local = make_pallas_local_matvec_v5(
+                    model, box, n_dev, interpret=pallas_interpret
+                )
     if pl_local is not None:
         from .stencil import make_diag_fn
 

@@ -1797,6 +1797,308 @@ def make_pallas_local_matvec_v5(
     return local_matvec
 
 
+def make_pallas_local_matvec_v6(
+    model: Model,
+    box: BoxSpace,
+    n_dev: int,
+    block_rows: int = 2048,
+    interpret: bool = False,
+    pattern_vmem_bytes: int = 4 << 20,
+):
+    """Shard-local v6 kernel for the halo-exchange SpMV (ops/halo.py).
+
+    Same scalarized-row-factor / per-tile compute as
+    :func:`make_pallas_stencil_matvec_v6`, with the v5-local halo DMA:
+    the first/last grid blocks source their halo rows from the
+    neighbour-boundary buffers delivered by the ppermute exchange.  The
+    per-tile scalar table is indexed GLOBALLY (``row0/T + i*tpb + t``) so
+    every shard reads its own slice of one shared table.
+
+    Returns ``fn(x_l, left, right, mask_l, d_l, row0) -> y_l`` (same
+    contract as the v5 local kernel) or None when the model/geometry/
+    sharding does not qualify (callers fall back to v5-local).
+    """
+    from ..models.factorize import factorize_model, shifted_factor_table
+
+    facts = factorize_model(model)
+    if facts is None:
+        return None
+
+    stoich = np.asarray(box.stoichiometry, dtype=np.int64)
+    R = stoich.shape[0]
+    vol = box.volume
+    if vol % (n_dev * LANES) != 0:
+        return None
+    rows_tot = vol // LANES
+    rows_l = rows_tot // n_dev
+    shifts = [int(sh) for sh in box.shift_of_species]
+    bits = [int(b) for b in box.bits_of_species]
+    exts = [1 << b for b in bits]
+
+    s_off = [-int(o) for o in np.asarray(box.offsets)]
+    q = [so // LANES for so in s_off]
+    r = [so - LANES * qq for so, qq in zip(s_off, q)]
+    qmin = min(q + [0])
+    qmax = max(q + [0])
+
+    qmin_al = (qmin // 8) * 8
+    c0 = -qmin_al
+    blk = _choose_block(rows_l, qmin_al, qmax, block_rows)
+    if blk is None:
+        return None
+    B, WR, lead, excess = blk
+    n_blocks = rows_l // B
+    if lead >= rows_l or excess >= rows_l:
+        return None  # halo taller than a neighbour shard
+    if lead == 0 or excess == 0:
+        return None  # degenerate one-sided stencil: keep the XLA path
+
+    def _placement(logp):
+        placements, pmax = [], 1
+        for k in range(R):
+            relevant = set(facts[k].factors) | {
+                int(s) for s in np.nonzero(stoich[k])[0]
+            }
+            pat, row = [], []
+            for s in sorted(relevant):
+                if shifts[s] + bits[s] <= 7 + logp:
+                    pat.append(s)
+                elif shifts[s] >= 7:
+                    row.append(s)
+                else:
+                    return None, None
+                if s in pat:
+                    pmax = max(pmax, 1 << max(0, shifts[s] + bits[s] - 7))
+            placements.append((pat, row))
+        return placements, pmax
+
+    chosen = None
+    for logp in range(int(np.log2(B)), -1, -1):
+        placements, Pmax = _placement(logp)
+        if placements is None or Pmax > B or rows_l % Pmax:
+            continue
+        T = max(Pmax, 8)
+        if T > B or B % T or rows_l % T:
+            continue
+        if R * T * LANES * 4 > pattern_vmem_bytes:
+            continue
+        if all(
+            shifts[s] - 7 >= int(np.log2(T))
+            for _pat, row in placements
+            for s in row
+        ):
+            chosen = (placements, Pmax, T)
+            break
+    if chosen is None:
+        return None
+    placements, Pmax, T = chosen
+    tpb = B // T
+    n_tiles = rows_tot // T
+
+    pgrid = np.arange(T)[:, None] * LANES + np.arange(LANES)[None, :]
+    patU = np.zeros((R, T, LANES), dtype=np.float64)
+    for k, (pat, _row) in enumerate(placements):
+        u = np.full((T, LANES), facts[k].const, dtype=np.float64)
+        for s in pat:
+            cs = (pgrid >> shifts[s]) & (exts[s] - 1)
+            u *= shifted_factor_table(
+                facts[k], s, exts[s], int(stoich[k, s]), model
+            )[cs]
+        patU[k] = u
+    patU_f32 = jnp.asarray(patU, jnp.float32)
+
+    # global per-(reaction, tile) row-factor scalars
+    trow = np.arange(n_tiles) * T
+    scal = np.ones((R, n_tiles), dtype=np.float64)
+    has_scal = [False] * R
+    for k, (_pat, row) in enumerate(placements):
+        for s in row:
+            c = (trow >> (shifts[s] - 7)) & (exts[s] - 1)
+            scal[k] *= shifted_factor_table(
+                facts[k], s, exts[s], int(stoich[k, s]), model
+            )[c]
+        has_scal[k] = bool(row) and not np.all(scal[k] == 1.0)
+    scal_f32 = jnp.asarray(scal, jnp.float32)
+
+    _byr: dict = {}
+    for k in range(R):
+        if r[k]:
+            _byr.setdefault(r[k], []).append(k)
+    roll_groups = {
+        rr: (min(q[k] for k in ks), max(q[k] for k in ks))
+        for rr, ks in _byr.items()
+        if max(q[k] for k in ks) - min(q[k] for k in ks) <= 8
+    }
+
+    def kernel(row0_ref, scal_ref, x_ref, l_ref, rr_ref, mc_ref, d_ref,
+               pu_ref, y_ref, win, sem):
+        i = pl.program_id(0).astype(jnp.int32)
+        nb = pl.num_programs(0)
+
+        def start_dma(j, slot):
+            @pl.when(j == 0)
+            def _():
+                if lead:
+                    pltpu.make_async_copy(
+                        l_ref, win.at[slot, pl.ds(0, lead), :], sem.at[slot]
+                    ).start()
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).start()
+
+            if n_blocks > 2:  # middle windows exist (static guard)
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).start()
+
+            @pl.when(j == nb - 1)
+            def _():
+                if excess:
+                    pltpu.make_async_copy(
+                        rr_ref, win.at[slot, pl.ds(WR - excess, excess), :],
+                        sem.at[slot],
+                    ).start()
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_l - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).start()
+
+        def wait_dma(j, slot):
+            @pl.when(j == 0)
+            def _():
+                if lead:
+                    pltpu.make_async_copy(
+                        l_ref, win.at[slot, pl.ds(0, lead), :], sem.at[slot]
+                    ).wait()
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(0, WR - lead), :],
+                    win.at[slot, pl.ds(lead, WR - lead), :],
+                    sem.at[slot],
+                ).wait()
+
+            if n_blocks > 2:
+                @pl.when((j > 0) & (j < nb - 1))
+                def _():
+                    w0 = j * jnp.int32(B) + jnp.int32(qmin_al)
+                    pltpu.make_async_copy(
+                        x_ref.at[pl.ds(w0, WR), :], win.at[slot],
+                        sem.at[slot]
+                    ).wait()
+
+            @pl.when(j == nb - 1)
+            def _():
+                if excess:
+                    pltpu.make_async_copy(
+                        rr_ref, win.at[slot, pl.ds(WR - excess, excess), :],
+                        sem.at[slot],
+                    ).wait()
+                pltpu.make_async_copy(
+                    x_ref.at[pl.ds(rows_l - (WR - excess), WR - excess), :],
+                    win.at[slot, pl.ds(0, WR - excess), :],
+                    sem.at[slot],
+                ).wait()
+
+        @pl.when(i == 0)
+        def _():
+            start_dma(jnp.int32(0), jnp.int32(0))
+
+        slot = jax.lax.rem(i, jnp.int32(2))
+        nslot = jax.lax.rem(i + jnp.int32(1), jnp.int32(2))
+
+        @pl.when(i + 1 < nb)
+        def _():
+            start_dma(i + jnp.int32(1), nslot)
+
+        wait_dma(i, slot)
+
+        # global tile origin of this block (row0 is T-aligned: T | rows_l)
+        tile0 = row0_ref[0, 0] // jnp.int32(T) + i * jnp.int32(tpb)
+
+        rolled = {}
+        for rr, (qlo, qhi) in roll_groups.items():
+            g0 = c0 + qlo
+            srows = B + (qhi - qlo)
+            hi = win[slot, g0 : g0 + srows, rr:]
+            lo = win[slot, g0 + 1 : g0 + srows + 1, :rr]
+            rolled[rr] = (jnp.concatenate([hi, lo], axis=1), qlo)
+
+        for t in range(tpb):
+            r0 = t * T
+            center = win[slot, c0 + r0 : c0 + r0 + T, :]
+            acc = -(d_ref[r0 : r0 + T, :] * center)
+            for k in range(R):
+                base = c0 + q[k] + r0
+                if r[k] == 0:
+                    shifted = win[slot, base : base + T, :]
+                elif r[k] in rolled:
+                    strip, qlo = rolled[r[k]]
+                    o = q[k] - qlo + r0
+                    shifted = strip[o : o + T, :]
+                else:
+                    hi = win[slot, base : base + T, r[k] :]
+                    lo = win[slot, base + 1 : base + T + 1, : r[k]]
+                    shifted = jnp.concatenate([hi, lo], axis=1)
+                p = pu_ref[k]
+                if has_scal[k]:
+                    p = p * scal_ref[k, tile0 + t]
+                acc = acc + p * shifted
+            y_ref[r0 : r0 + T, :] = jnp.where(
+                mc_ref[r0 : r0 + T, :] != 0, acc, 0.0
+            )
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B, LANES), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (R, T, LANES),
+                lambda i: (jnp.int32(0), jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, LANES), lambda i: (i, jnp.int32(0)), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((rows_l, LANES), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, WR, LANES), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )
+
+    def local_matvec(x_l, left, right, mask_l, d_l, row0):
+        y = call(row0, scal_f32, x_l, left, right, mask_l, d_l, patU_f32)
+        return y
+
+    local_matvec._lead = lead
+    local_matvec._excess = excess
+    local_matvec._pmax = Pmax
+    local_matvec._tile = T
+    local_matvec._has_scal = has_scal
+    return local_matvec
+
+
 def make_pallas_stencil_matvec_v2(
     model: Model,
     box: BoxSpace,

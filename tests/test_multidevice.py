@@ -262,10 +262,10 @@ def test_cli_devices_flag(capsys):
 
 
 def test_halo_pallas_local_matches_single():
-    """The halo-exchange SpMV with the v5 Pallas LOCAL kernel (interpret
-    mode) matches the single-device XLA stencil — VERDICT r2 item 5: the
-    sharded path must not pay the XLA-stencil penalty on TPU.  Float32
-    compare (the Pallas kernels are f32-only)."""
+    """The halo-exchange SpMV with the Pallas LOCAL kernel (v6 preferred,
+    v5 fallback; interpret mode) matches the single-device XLA stencil —
+    VERDICT r2 item 5: the sharded path must not pay the XLA-stencil
+    penalty on TPU.  Float32 compare (the Pallas kernels are f32-only)."""
     from krylovfspssa_tpu.boxspace.box import BoxSpace
     from krylovfspssa_tpu.models.library import goutsias_model
     from krylovfspssa_tpu.ops.halo import make_halo_stencil_matvec
@@ -297,6 +297,26 @@ def test_halo_pallas_local_matches_single():
     np.testing.assert_allclose(
         np.asarray(got), ref, atol=2e-6 * scale
     )
+
+
+def test_halo_local_v6_selected_with_global_scalars():
+    """On the halo-test Goutsias geometry the v6 LOCAL kernel must apply
+    (scalarized row factors with a GLOBALLY indexed per-tile table) so
+    the sharded hot loop matches the single-chip kernel generation."""
+    from krylovfspssa_tpu.boxspace.box import BoxSpace
+    from krylovfspssa_tpu.models.library import goutsias_model
+    from krylovfspssa_tpu.ops.pallas_stencil import (
+        make_pallas_local_matvec_v6,
+    )
+
+    model = goutsias_model()
+    box = BoxSpace.for_model(model.stoichiometry, [[2, 6, 0, 2, 0, 0]])
+    for s, tgt in enumerate([32, 16, 8, 4, 4, 4]):
+        while box.extents[s] < tgt:
+            box = box.grow(s)
+    mv = make_pallas_local_matvec_v6(model, box, 8, interpret=True)
+    assert mv is not None
+    assert sum(mv._has_scal) == 6  # the six D-touching reactions
 
 
 def test_table_full_solve_shard_invariance():
