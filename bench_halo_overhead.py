@@ -114,6 +114,24 @@ def main():
     tA = bench_matvec(make_stencil_matvec(model, box1, dtype), box1)
     out["A_unsharded_V_ms"] = round(tA * 1e3, 4)
 
+    # A': unsharded PALLAS kernel at V (f32 TPU) — the like-for-like
+    # baseline for the halo path, which runs the Pallas LOCAL kernel
+    # there; B - A' isolates pure shard_map/exchange overhead without
+    # conflating kernel generations
+    tA_pl = None
+    if dtype == jnp.float32 and platform not in ("cpu", "gpu"):
+        from krylovfspssa_tpu.ops.pallas_stencil import (
+            make_pallas_stencil_matvec_v5,
+            make_pallas_stencil_matvec_v6,
+        )
+
+        mv_pl = make_pallas_stencil_matvec_v6(model, box1)
+        if mv_pl is None:
+            mv_pl = make_pallas_stencil_matvec_v5(model, box1)
+        if mv_pl is not None:
+            tA_pl = bench_matvec(mv_pl, box1)
+            out["A_pallas_V_ms"] = round(tA_pl * 1e3, 4)
+
     # B: halo over 1-device mesh at V
     mesh1 = make_mesh(1)
     row1 = NamedSharding(mesh1, P(STATE_AXIS))
@@ -121,7 +139,10 @@ def main():
     if mv1 is not None:
         tB = bench_matvec(mv1, box1, row1)
         out["B_halo_1dev_V_ms"] = round(tB * 1e3, 4)
-        out["shard_overhead_1dev_ms"] = round((tB - tA) * 1e3, 4)
+        base = tA_pl if (
+            tA_pl is not None and getattr(mv1, "_pallas_local", False)
+        ) else tA
+        out["shard_overhead_1dev_ms"] = round((tB - base) * 1e3, 4)
 
     # D: unsharded at 2V
     tD = bench_matvec(make_stencil_matvec(model, box2, dtype), box2)

@@ -1275,7 +1275,11 @@ def make_pallas_stencil_matvec_v6(
         patU[k] = u
     patU_f32 = jnp.asarray(patU, jnp.float32)
 
-    # ---- per-(reaction, tile) row-factor scalars (f64 build) -------------
+    # ---- per-(tile, reaction) row-factor scalars (f64 build) -------------
+    # shipped transposed (n_tiles, R) in VMEM and read as static (1, 1)
+    # slices per (tile, reaction) — scalar-register SMEM indexing does not
+    # lower through Mosaic for f32 tables (observed remote-compile
+    # failure), while a (1, 1) VMEM splat is a native vector op
     trow = np.arange(n_tiles) * T
     scal = np.ones((R, n_tiles), dtype=np.float64)
     has_scal = [False] * R
@@ -1286,7 +1290,7 @@ def make_pallas_stencil_matvec_v6(
                 facts[k], s, exts[s], int(stoich[k, s]), model
             )[c]
         has_scal[k] = bool(row) and not np.all(scal[k] == 1.0)
-    scal_f32 = jnp.asarray(scal, jnp.float32)
+    scal_f32 = jnp.asarray(scal.T.copy(), jnp.float32)  # (n_tiles, R)
 
     # ---- pre-negated streamed diagonal (device-built once per geometry) --
     from .stencil import make_diag_fn
@@ -1415,7 +1419,7 @@ def make_pallas_stencil_matvec_v6(
                 else:
                     p = pu_ref[k]
                     if has_scal[k] and "no_scal" not in _ablate:
-                        p = p * scal_ref[k, i * jnp.int32(tpb) + t]
+                        p = p * scal_ref[t : t + 1, k : k + 1]
                     term = p * shifted
                 acc = acc + term
             if "no_mask" in _ablate:
@@ -1430,7 +1434,10 @@ def make_pallas_stencil_matvec_v6(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (tpb, R), lambda i: (i, jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (B, LANES), lambda i: (i, jnp.int32(0)),
                 memory_space=pltpu.VMEM,
@@ -1907,7 +1914,12 @@ def make_pallas_local_matvec_v6(
         patU[k] = u
     patU_f32 = jnp.asarray(patU, jnp.float32)
 
-    # global per-(reaction, tile) row-factor scalars
+    # global per-(tile, reaction) row-factor scalars, shipped (n_tiles, R)
+    # in VMEM whole (each shard reads its rows by a dynamic (1, 1) slice —
+    # scalar-register SMEM indexing does not lower through Mosaic for f32
+    # tables); gate the footprint since the lane dim pads to 128
+    if n_tiles * LANES * 4 > 2 << 20:
+        return None
     trow = np.arange(n_tiles) * T
     scal = np.ones((R, n_tiles), dtype=np.float64)
     has_scal = [False] * R
@@ -1918,7 +1930,7 @@ def make_pallas_local_matvec_v6(
                 facts[k], s, exts[s], int(stoich[k, s]), model
             )[c]
         has_scal[k] = bool(row) and not np.all(scal[k] == 1.0)
-    scal_f32 = jnp.asarray(scal, jnp.float32)
+    scal_f32 = jnp.asarray(scal.T.copy(), jnp.float32)  # (n_tiles, R)
 
     _byr: dict = {}
     for k in range(R):
@@ -2018,8 +2030,10 @@ def make_pallas_local_matvec_v6(
 
         wait_dma(i, slot)
 
-        # global tile origin of this block (row0 is T-aligned: T | rows_l)
-        tile0 = row0_ref[0, 0] // jnp.int32(T) + i * jnp.int32(tpb)
+        # global tile origin of this block (row0 is T-aligned: T | rows_l;
+        # shift instead of divide — T is a power of two)
+        logT = int(np.log2(T))
+        tile0 = (row0_ref[0, 0] >> jnp.int32(logT)) + i * jnp.int32(tpb)
 
         rolled = {}
         for rr, (qlo, qhi) in roll_groups.items():
@@ -2047,7 +2061,7 @@ def make_pallas_local_matvec_v6(
                     shifted = jnp.concatenate([hi, lo], axis=1)
                 p = pu_ref[k]
                 if has_scal[k]:
-                    p = p * scal_ref[k, tile0 + t]
+                    p = p * scal_ref[pl.ds(tile0 + t, 1), k : k + 1]
                 acc = acc + p * shifted
             y_ref[r0 : r0 + T, :] = jnp.where(
                 mc_ref[r0 : r0 + T, :] != 0, acc, 0.0
@@ -2058,7 +2072,7 @@ def make_pallas_local_matvec_v6(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
