@@ -26,15 +26,24 @@ import numpy as np
 
 
 def time_matvec(fn, x, iters=200):
+    """Chained device-side loop (bench.py methodology): eager per-call
+    dispatch through the remote tunnel serializes ~27 ms round-trips and
+    produced a 77 ms/matvec artifact on the first measurement pass."""
     import jax
+    import jax.numpy as jnp
 
-    jax.block_until_ready(fn(x))
+    @jax.jit
+    def run(v):
+        def body(i, v):
+            y = fn(v)
+            nrm = jnp.sqrt(jnp.sum(y * y) + 1e-300).astype(v.dtype)
+            return y / nrm
 
+        return jax.lax.fori_loop(0, iters, body, v)
+
+    jax.block_until_ready(run(x))  # compile + warm
     t0 = time.perf_counter()
-    y = x
-    for _ in range(iters):
-        y = fn(y)
-    jax.block_until_ready(y)
+    jax.block_until_ready(run(x))
     return (time.perf_counter() - t0) / iters
 
 

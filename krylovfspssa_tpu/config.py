@@ -50,6 +50,23 @@ class SolverConfig:
     #: compaction only happens when more than this fraction is droppable
     #: (StateSpace.f90:497)
     drop_fraction: float = 0.1
+    #: anti-thrash gate on the table backend's inline drop (no reference
+    #: counterpart — a fix, not a port): only commit a drop when the drop
+    #: set's total inflow rate sum_i (A w)_i stays below this fraction of
+    #: the FSP budget rate fsp_tol/t_out.  The reference's PER-STATE
+    #: inflow guard (StateSpace.f90:486-495, 1e-8 each) cannot bound the
+    #: SUM: on toggle t=1000 the ~330-state tail shell it allowed to drop
+    #: carried enough combined inflow that the next step always failed
+    #: the FSP criterion and SSA re-added the same shell — a drop/expand
+    #: limit cycle (4160 steps / 2084 expansions vs 64 steps without).
+    #: Skipping such drops is strictly conservative: kept states only
+    #: reduce truncation error.
+    drop_rate_frac: float = 0.5
+    #: memory-pressure escape for the gate above: once the active state
+    #: count reaches this fraction of max_states, commit qualifying drops
+    #: regardless of their gross leak rate (running out of state budget
+    #: is worse than an extra expansion epoch)
+    drop_pressure_frac: float = 0.5
     #: consecutive FSP rejections before abandoning the step for SSA
     #: expansion (KrylovSolver.f90:466)
     max_fsp_rejects: int = 5

@@ -117,7 +117,9 @@ class TableAdvanceState(NamedTuple):
     dsum: jnp.ndarray
 
 
-def make_table_advance_fn(config: SolverConfig, max_steps: int):
+def make_table_advance_fn(
+    config: SolverConfig, max_steps: int, max_states: int | None = None
+):
     """Fused multi-step device loop for the table (gather-ELL) backend.
 
     The reference main loop (KrylovSolver.f90:206-550) runs in-process; the
@@ -163,12 +165,15 @@ def make_table_advance_fn(config: SolverConfig, max_steps: int):
     droptol_start = config.droptol_start
     inflow_guard = config.inflow_guard
     drop_fraction = config.drop_fraction
+    drop_rate_frac = config.drop_rate_frac
 
-    def drop_inline(op, active, w, dsum, carry):
+    def drop_inline(op, active, w, dsum, rate_budget, carry):
         """DROP_STATES as row-mask arithmetic (StateSpace.f90:398-548):
         pick the largest droptol level whose below-threshold mass fits in
         dsum, deactivate those rows unless the inflow guard keeps them,
-        and only commit when more than drop_fraction of rows would go."""
+        and only commit when more than drop_fraction of rows would go AND
+        the drop set's total inflow rate fits the FSP budget rate (the
+        anti-thrash gate, config.drop_rate_frac — see config.py)."""
         w64 = w.astype(jnp.float64)
         inflow = jnp.where(active, spmv(op, w), 0).astype(jnp.float64)
         levels = droptol_start / (
@@ -185,9 +190,29 @@ def make_table_advance_fn(config: SolverConfig, max_steps: int):
         dmask = (w64 < droptol) & active & ~(inflow > inflow_guard)
         count = jnp.sum(dmask)
         n_active = jnp.sum(active)
-        do = count.astype(jnp.float64) > drop_fraction * n_active.astype(
-            jnp.float64
+        # anti-thrash gate on the GROSS inflow into the drop set.  The
+        # per-state guard above keeps reference semantics (net A w — the
+        # derivative), but a quasi-equilibrated boundary state has
+        # (A w)_i ~ 0 while carrying real throughput: dropping it
+        # truncates the gross flux sum_k a_k(pred) w_pred = (A w)_i +
+        # D_i w_i, which is what the FSP criterion will charge on the
+        # next step.  Only commit when the total gross leak rate fits
+        # the scaled FSP budget rate.
+        gross_in = inflow + (op.diag * w).astype(jnp.float64)
+        loss_rate = jnp.sum(
+            jnp.where(dmask, jnp.maximum(gross_in, 0.0), 0.0)
         )
+        gate = loss_rate <= rate_budget
+        if max_states is not None:
+            # memory-pressure escape (config.drop_pressure_frac)
+            pressure = n_active.astype(jnp.float64) >= (
+                config.drop_pressure_frac * max_states
+            )
+            gate = gate | pressure
+        do = (
+            count.astype(jnp.float64)
+            > drop_fraction * n_active.astype(jnp.float64)
+        ) & gate
         active_new = jnp.where(do, active & ~dmask, active)
         w_new = jnp.where(do & dmask, 0, w)
         beta_new = jnp.sqrt(jnp.sum((w_new * w_new).astype(jnp.float64)))
@@ -201,6 +226,9 @@ def make_table_advance_fn(config: SolverConfig, max_steps: int):
 
     def advance(op, w, active, carry: StepCarry, t_out, fsptol, krytol):
         t_out_abs = jnp.abs(t_out)
+        # FSP budget rate fsp_tol/t_out (FERRORBOUND slope,
+        # KrylovSolver.f90:609-616) scaled by the anti-thrash fraction
+        rate_budget = drop_rate_frac * fsptol / t_out_abs
 
         def cond(st: TableAdvanceState):
             return (st.event == EVENT_NONE) & (st.steps < max_steps)
@@ -217,10 +245,10 @@ def make_table_advance_fn(config: SolverConfig, max_steps: int):
                 lambda args: (
                     args[0],
                     args[1],
-                    args[3],
+                    args[4],
                     jnp.asarray(0, jnp.int64),
                 ),
-                (active, w, res.dsum, carry),
+                (active, w, res.dsum, rate_budget, carry),
             )
             n_drops = st.n_drops + (dropped > 0)
 

@@ -131,9 +131,14 @@ def make_halo_stencil_matvec(
                 make_pallas_local_matvec_v6,
             )
 
-            pl_local = make_pallas_local_matvec_v6(
-                model, box, n_dev, interpret=pallas_interpret
-            )
+            # v6-local is interpret-validated but not yet TPU-validated
+            # (the v6 family does not lower through Mosaic remotely,
+            # round 4) — real-TPU meshes stay on v5-local
+            pl_local = None
+            if pallas_interpret or use_pallas == "v6":
+                pl_local = make_pallas_local_matvec_v6(
+                    model, box, n_dev, interpret=pallas_interpret
+                )
             if pl_local is None:
                 pl_local = make_pallas_local_matvec_v5(
                     model, box, n_dev, interpret=pallas_interpret

@@ -1276,10 +1276,13 @@ def make_pallas_stencil_matvec_v6(
     patU_f32 = jnp.asarray(patU, jnp.float32)
 
     # ---- per-(tile, reaction) row-factor scalars (f64 build) -------------
-    # shipped transposed (n_tiles, R) in VMEM and read as static (1, 1)
-    # slices per (tile, reaction) — scalar-register SMEM indexing does not
-    # lower through Mosaic for f32 tables (observed remote-compile
+    # shipped transposed (n_tiles, R) whole in VMEM (a (tpb, R) block spec
+    # violates the (8, 128)-divisibility rule) and read as dynamic (1, 1)
+    # row slices per (tile, reaction) — scalar-register SMEM indexing does
+    # not lower through Mosaic for f32 tables (observed remote-compile
     # failure), while a (1, 1) VMEM splat is a native vector op
+    if n_tiles * LANES * 4 > 2 << 20:
+        return None
     trow = np.arange(n_tiles) * T
     scal = np.ones((R, n_tiles), dtype=np.float64)
     has_scal = [False] * R
@@ -1419,7 +1422,9 @@ def make_pallas_stencil_matvec_v6(
                 else:
                     p = pu_ref[k]
                     if has_scal[k] and "no_scal" not in _ablate:
-                        p = p * scal_ref[t : t + 1, k : k + 1]
+                        p = p * scal_ref[
+                            pl.ds(i * jnp.int32(tpb) + t, 1), k : k + 1
+                        ]
                     term = p * shifted
                 acc = acc + term
             if "no_mask" in _ablate:
@@ -1434,10 +1439,7 @@ def make_pallas_stencil_matvec_v6(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
-            pl.BlockSpec(
-                (tpb, R), lambda i: (i, jnp.int32(0)),
-                memory_space=pltpu.VMEM,
-            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
                 (B, LANES), lambda i: (i, jnp.int32(0)),
                 memory_space=pltpu.VMEM,

