@@ -125,12 +125,22 @@ def main():
             make_pallas_stencil_matvec_v6,
         )
 
-        mv_pl = make_pallas_stencil_matvec_v6(model, box1)
-        if mv_pl is None:
-            mv_pl = make_pallas_stencil_matvec_v5(model, box1)
-        if mv_pl is not None:
-            tA_pl = bench_matvec(mv_pl, box1)
-            out["A_pallas_V_ms"] = round(tA_pl * 1e3, 4)
+        # v6 first, v5 on factory refusal OR compile failure (the v6
+        # family does not lower through the remote Mosaic compiler yet)
+        for mk in (make_pallas_stencil_matvec_v6,
+                   make_pallas_stencil_matvec_v5):
+            mv_pl = mk(model, box1)
+            if mv_pl is None:
+                continue
+            try:
+                tA_pl = bench_matvec(mv_pl, box1)
+                out["A_pallas_V_ms"] = round(tA_pl * 1e3, 4)
+                out["A_pallas_kernel"] = mk.__name__[-2:]
+                break
+            except Exception as e:  # noqa: BLE001
+                print(f"{mk.__name__} failed: {str(e)[:160]}",
+                      file=sys.stderr, flush=True)
+                tA_pl = None
 
     # B: halo over 1-device mesh at V
     mesh1 = make_mesh(1)
