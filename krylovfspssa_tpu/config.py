@@ -92,7 +92,10 @@ class SolverConfig:
     fused_steps: bool = True
     #: stencil SpMV kernel selection: "auto" uses the hand-tiled Pallas
     #: kernel (ops/pallas_stencil.py) when dtype is float32, the backend is
-    #: a TPU, and the box geometry qualifies; "never"/"always" force it off/on
+    #: a TPU, and the box geometry qualifies; "never"/"always" force it
+    #: off/on; "v6" opts real-TPU runs into the v6 scalarized-row-factor
+    #: kernel (interpret-validated; blocked on a remote Mosaic lowering
+    #: failure as of round 4 — see BASELINE.md "Round-4 kernel status")
     use_pallas: str = "auto"
     #: use the explicit ppermute halo-exchange SpMV (ops/halo.py) for
     #: mesh-sharded solves when the model/geometry qualify; False falls

@@ -1439,7 +1439,15 @@ def make_pallas_stencil_matvec_v6(
         grid=(n_blocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # whole-array block with an EXPLICIT int32 index map: under
+            # jax_enable_x64 the synthesized default map returns i64
+            # indices, which Mosaic fails to legalize ("func.return
+            # (i64, i64)") — same class of issue as _lane_roll's shift
+            pl.BlockSpec(
+                (n_tiles, R),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (B, LANES), lambda i: (i, jnp.int32(0)),
                 memory_space=pltpu.VMEM,
@@ -1767,7 +1775,13 @@ def make_pallas_local_matvec_v5(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            # explicit int32 index map (under jax_enable_x64 the default
+            # synthesized map returns i64 — Mosaic legalization failure;
+            # found via the v6 family, latent here)
+            pl.BlockSpec(
+                (1, 1), lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.SMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
@@ -2073,8 +2087,18 @@ def make_pallas_local_matvec_v6(
         kernel,
         grid=(n_blocks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            # explicit int32 index maps: under jax_enable_x64 the
+            # synthesized default maps return i64 — Mosaic legalization
+            # failure (see the single-chip v6 spec comment)
+            pl.BlockSpec(
+                (1, 1), lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.SMEM,
+            ),
+            pl.BlockSpec(
+                (n_tiles, R),
+                lambda i: (jnp.int32(0), jnp.int32(0)),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
