@@ -263,6 +263,15 @@ class BoxCmeSolver:
                 support = jnp.where(jnp.any(support), support, m)
                 return jnp.max(jnp.where(support, diag(m), 0.0))
 
+            def loss_rate(m, w, inflow, dmask):
+                # gross inflow rate into the drop set (anti-thrash gate;
+                # see statespace/drop.py drop_loss_rate)
+                w64 = w.astype(jnp.float64)
+                gross = inflow.astype(jnp.float64) + diag(m) * w64
+                return jnp.sum(
+                    jnp.where(dmask, jnp.maximum(gross, 0.0), 0.0)
+                )
+
             if self.mesh is None:
                 self._fns[key] = (
                     jax.jit(step),
@@ -270,6 +279,7 @@ class BoxCmeSolver:
                     jax.jit(lambda m: dilate_mask(box, m)),
                     jax.jit(dilate_n),
                     jax.jit(lam_max),
+                    jax.jit(loss_rate),
                 )
             else:
                 row, rep = self._row, self._rep
@@ -288,6 +298,11 @@ class BoxCmeSolver:
                     ),
                     jax.jit(
                         lam_max, in_shardings=(row, row), out_shardings=rep
+                    ),
+                    jax.jit(
+                        loss_rate,
+                        in_shardings=(row, row, row, row),
+                        out_shardings=rep,
                     ),
                 )
         return self._fns[key]
@@ -447,9 +462,8 @@ class BoxCmeSolver:
             )
 
         iteration = 0
-        step_jit, matvec_jit, dilate_jit, dilate_n_jit, lam_jit = (
-            self._functions(box)
-        )
+        (step_jit, matvec_jit, dilate_jit, dilate_n_jit, lam_jit,
+         loss_rate_jit) = self._functions(box)
 
         while float(carry.t_now) < abs(t):
             iteration += 1
@@ -460,6 +474,13 @@ class BoxCmeSolver:
 
             res = step_jit(mask, w, carry, t_out, fsptol_j, krytol_j)
             w, carry = res.w, res.carry
+            if int(carry.iflag) == 3:
+                raise RuntimeError(
+                    "local Krylov error stayed NaN through the bounded "
+                    "tau/5 retry (iflag=3) — basis/H numerically "
+                    "corrupted (inf/NaN propensity, overscaled expm, or "
+                    "device-state corruption); inspect the operator"
+                )
             if int(carry.iflag) == 2:
                 raise RuntimeError(
                     f"step rejected more than mxreject="
@@ -485,7 +506,17 @@ class BoxCmeSolver:
                 )
                 count = int(count)
                 n_active = int(jnp.sum(mask))
-                if count > cfg.drop_fraction * n_active:
+                # anti-thrash gate, same policy as the fused box loop's
+                # drop_inline (krylov/advance.py): gross-leak-rate bound
+                # with a memory-pressure escape on the box volume
+                loss = float(loss_rate_jit(mask, w, inflow, dmask))
+                rate_budget = (
+                    cfg.drop_rate_frac * float(fsptol_j) / abs(float(t))
+                )
+                pressure = n_active >= cfg.drop_pressure_frac * mask.size
+                if count > cfg.drop_fraction * n_active and (
+                    loss <= rate_budget or pressure
+                ):
                     dropped_mass = jnp.sum(
                         jnp.where(dmask, w.astype(jnp.float64), 0.0)
                     )
@@ -520,7 +551,7 @@ class BoxCmeSolver:
                 if new_box is not box:
                     box = new_box
                     (step_jit, matvec_jit, dilate_jit, dilate_n_jit,
-                     lam_jit) = self._functions(box)
+                     lam_jit, loss_rate_jit) = self._functions(box)
                     mask = self._put_row(mask_np)
                     w = self._put_row(w_np, self._dtype)
                     # one more dilation round inside the grown box
@@ -688,6 +719,13 @@ class BoxCmeSolver:
             )
             event = int(st.event)
             if event == EVENT_FAIL:
+                if int(carry.iflag) == 3:
+                    raise RuntimeError(
+                        "local Krylov error stayed NaN through the bounded "
+                        "tau/5 retry (iflag=3) — basis/H numerically "
+                        "corrupted (inf/NaN propensity, overscaled expm, or "
+                        "device-state corruption); inspect the operator"
+                    )
                 raise RuntimeError(
                     f"step rejected more than mxreject="
                     f"{self.config.mxreject} times (IFLAG=2, "

@@ -117,6 +117,36 @@ class TableAdvanceState(NamedTuple):
     dsum: jnp.ndarray
 
 
+def make_masked_table_step(config: SolverConfig):
+    """Single attempted step on the table backend's (op, active) pair.
+
+    Shared by the fused device loop below AND the host-orchestrated
+    stepwise path (solver.py) so both compile the numerically identical
+    program: ``jnp.where(active, spmv(op, x), 0)`` with the active-count
+    op_info.  (Using a bare ``spmv`` in one path and the masked form in
+    the other produces ulp-different matvec roundings — enough to flip a
+    step-size/m choice mid-run and break fused-vs-stepwise equality.)
+    """
+    from ..ops.spmv import spmv
+
+    def masked_matvec(oa):
+        op, active = oa
+
+        def mv(x):
+            return jnp.where(active, spmv(op, x), 0)
+
+        return mv
+
+    return make_step_fn(
+        masked_matvec,
+        config,
+        op_info=lambda oa: (
+            jnp.sum(oa[1]).astype(jnp.int32),
+            oa[0].props.shape[1],
+        ),
+    )
+
+
 def make_table_advance_fn(
     config: SolverConfig, max_steps: int, max_states: int | None = None
 ):
@@ -146,22 +176,7 @@ def make_table_advance_fn(
     """
     from ..ops.spmv import spmv
 
-    def masked_matvec(oa):
-        op, active = oa
-
-        def mv(x):
-            return jnp.where(active, spmv(op, x), 0)
-
-        return mv
-
-    step = make_step_fn(
-        masked_matvec,
-        config,
-        op_info=lambda oa: (
-            jnp.sum(oa[1]).astype(jnp.int32),
-            oa[0].props.shape[1],
-        ),
-    )
+    step = make_masked_table_step(config)
     droptol_start = config.droptol_start
     inflow_guard = config.inflow_guard
     drop_fraction = config.drop_fraction
@@ -354,8 +369,11 @@ def make_advance_fn(
     expand_rounds_max = config.box_expand_rounds_max
     diag_fn = make_diag_fn(model, box, jnp.float64)
 
-    def drop_inline(mask, w, dsum, carry):
-        """DROP_STATES as pure mask arithmetic (StateSpace.f90:398-548)."""
+    def drop_inline(mask, w, dsum, rate_budget, carry):
+        """DROP_STATES as pure mask arithmetic (StateSpace.f90:398-548),
+        with the same anti-thrash gate as the table backend's drop_inline
+        (config.drop_rate_frac — gross-leak-rate bound, plus a
+        memory-pressure escape on the box volume)."""
         w64 = w.astype(jnp.float64)
         inflow = matvec(mask, w).astype(jnp.float64)
         levels = droptol_start / (
@@ -370,9 +388,18 @@ def make_advance_fn(
         dmask = (w64 < droptol) & mask & ~(inflow > inflow_guard)
         count = jnp.sum(dmask)
         n_active = jnp.sum(mask)
-        do = count.astype(jnp.float64) > drop_fraction * n_active.astype(
-            jnp.float64
+        gross_in = inflow + diag_fn(mask) * w64
+        loss_rate = jnp.sum(
+            jnp.where(dmask, jnp.maximum(gross_in, 0.0), 0.0)
         )
+        pressure = n_active.astype(jnp.float64) >= (
+            config.drop_pressure_frac * mask.size
+        )
+        gate = (loss_rate <= rate_budget) | pressure
+        do = (
+            count.astype(jnp.float64)
+            > drop_fraction * n_active.astype(jnp.float64)
+        ) & gate
         mask_new = jnp.where(do, mask & ~dmask, mask)
         w_new = jnp.where(do & dmask, 0.0, w)
         beta_new = jnp.sqrt(jnp.sum((w_new * w_new).astype(jnp.float64)))
@@ -407,6 +434,8 @@ def make_advance_fn(
 
     def advance(w, mask, carry: StepCarry, t_out, fsptol, krytol):
         t_out_abs = jnp.abs(t_out)
+        # FSP budget rate fsp_tol/t_out scaled by the anti-thrash fraction
+        rate_budget = config.drop_rate_frac * fsptol / t_out_abs
 
         def cond(st: AdvanceState):
             return (st.event == EVENT_NONE) & (st.steps < max_steps)
@@ -423,8 +452,8 @@ def make_advance_fn(
             mask, w, carry, dropped = jax.lax.cond(
                 do_drop,
                 lambda args: drop_inline(*args),
-                lambda args: (args[0], args[1], args[3], jnp.asarray(0, jnp.int64)),
-                (mask, w, res.dsum, carry),
+                lambda args: (args[0], args[1], args[4], jnp.asarray(0, jnp.int64)),
+                (mask, w, res.dsum, rate_budget, carry),
             )
             n_drops = n_drops + (dropped > 0)
 

@@ -306,6 +306,9 @@ def make_step_fn(
             nexph: jnp.ndarray
             nscale: jnp.ndarray
             nreject: jnp.ndarray
+            #: local error stayed NaN through the bounded tau/5 retry —
+            #: structural numeric corruption; exits the step with iflag=3
+            nanfail: jnp.ndarray
 
         def attempt_body(a: A) -> A:
             # ---- Arnoldi phase (labels 101-300) -------------------------
@@ -339,7 +342,7 @@ def make_step_fn(
             Hbar = a.H.astype(jnp.float64).at[a.m + 1, a.m].set(1.0)
 
             def expm_err(carry):
-                t_step, _, _, _, nexph, nscale = carry
+                t_step, _, _, _, nexph, nscale, tries = carry
                 E, hnorm, ns = expm_fn(Hbar, mx, sgn * t_step, ideg)
                 p1 = jnp.abs(E[a.m, 0]) * beta
                 p2 = jnp.abs(E[a.m + 1, 0]) * beta * a.avnorm
@@ -349,22 +352,32 @@ def make_step_fn(
                     jnp.where(p1 > p2, (p1 * p2) / (p1 - p2), p1),
                 )
                 err = jnp.where(a.k1 == 0, krytol, err_k1)
-                return (t_step, E, hnorm, err, nexph + 1, nscale + ns)
+                return (t_step, E, hnorm, err, nexph + 1, nscale + ns, tries)
 
+            # bounded tau/5 retry (KrylovSolver.f90:307-310 is an
+            # unbounded GOTO; unbounded on DEVICE means a persistent NaN
+            # — corrupted basis/H — spins the while_loop until a remote
+            # watchdog kills the worker).  40 retries shrink tau by
+            # 5^40 ~ 1e28; a NaN that survives that is structural, so
+            # exit with nanfail -> iflag=3 instead of hanging.
             def nan_cond(carry):
-                t_step, E, hnorm, err, _, _ = carry
-                return jnp.isnan(err)
+                return jnp.isnan(carry[3]) & (carry[6] < 40)
 
             def nan_body(carry):
                 t_step = carry[0] / 5.0
-                return expm_err((t_step, carry[1], carry[2], carry[3], carry[4], carry[5]))
+                return expm_err(
+                    (t_step, carry[1], carry[2], carry[3], carry[4],
+                     carry[5], carry[6] + 1)
+                )
 
             first = expm_err(
-                (a.t_step, a.E, a.hnorm, a.err_loc, a.nexph, a.nscale)
+                (a.t_step, a.E, a.hnorm, a.err_loc, a.nexph, a.nscale,
+                 jnp.asarray(0, jnp.int32))
             )
-            t_step, E, hnorm, err_loc, nexph, nscale = jax.lax.while_loop(
-                nan_cond, nan_body, first
+            (t_step, E, hnorm, err_loc, nexph, nscale, _tries) = (
+                jax.lax.while_loop(nan_cond, nan_body, first)
             )
+            nanfail = jnp.isnan(err_loc)
 
             # ---- omega + order/kappa estimation (312-337) ---------------
             omega_old = a.omega
@@ -490,6 +503,7 @@ def make_step_fn(
                 t_step=t_step,
                 nexph=nexph,
                 nscale=nscale,
+                nanfail=nanfail,
             )
             a = jax.lax.cond(
                 rejected,
@@ -530,19 +544,20 @@ def make_step_fn(
             nexph=jnp.asarray(0, jnp.int32),
             nscale=jnp.asarray(0, jnp.int32),
             nreject=jnp.asarray(0, jnp.int32),
+            nanfail=jnp.asarray(False),
         )
         if mxreject > 0:
             # bounded rejection loop (KrylovSolver.f90:392-397): exceeding
             # mxreject rejections within one attempted step aborts with
             # IFLAG=2 instead of spinning forever on device
-            attempt_cond = lambda a: (~a.accept) & (  # noqa: E731
+            attempt_cond = lambda a: (~a.accept) & (~a.nanfail) & (  # noqa: E731
                 a.ireject + a.imreject <= mxreject
             )
         else:
-            attempt_cond = lambda a: ~a.accept  # noqa: E731
+            attempt_cond = lambda a: (~a.accept) & (~a.nanfail)  # noqa: E731
         a = jax.lax.while_loop(attempt_cond, attempt_body, a0)
-        #: rejection-budget exhaustion (only reachable when mxreject > 0)
-        fail = ~a.accept
+        #: rejection-budget exhaustion (mxreject > 0) or persistent NaN
+        fail = (~a.accept) | a.nanfail
 
         # grow next step aggressively on tiny error (KrylovSolver.f90:437)
         t_new_acc = jnp.where(
@@ -792,7 +807,9 @@ def make_step_fn(
             x_error=jnp.maximum(sc.x_error, err_final),
             hump=jnp.maximum(sc.hump, beta_new),
             vnorm=sc.vnorm,
-            iflag=jnp.where(fail, 2, sc.iflag).astype(jnp.int32),
+            iflag=jnp.where(
+                fail, jnp.where(a.nanfail, 3, 2), sc.iflag
+            ).astype(jnp.int32),
             spent=spent_new,
         )
         return StepResult(

@@ -107,9 +107,16 @@ def expm_pade(H: jnp.ndarray, mx: jnp.ndarray, t: jnp.ndarray, ideg: int = 6):
     # toward zero.  Guard hnorm == 0 (the reference STOPs; we return exp(0)=I
     # gracefully — happens on instant happy breakdown at an absorbing state).
     safe_h = jnp.where(hnorm > 0, hnorm, 1.0)
-    ns = jnp.maximum(
-        0, (jnp.trunc(jnp.log(safe_h) / jnp.log(2.0)) + 2).astype(jnp.int32)
-    )
+    # clamp BEFORE the int cast: an inf/NaN hnorm (corrupted H) would
+    # truncate to INT32_MAX and spin the squaring fori_loop for ~2^31
+    # tiny matmuls — hours of device time, which a remote-worker
+    # watchdog reports as "TPU worker crashed".  1100 > log2(f64 max),
+    # so every FINITE hnorm keeps its exact Fortran squaring count; the
+    # non-finite case produces NaN E and flows into the stepper's
+    # bounded NaN handling (iflag=3) instead of hanging the device.
+    ns_f = jnp.trunc(jnp.log(safe_h) / jnp.log(2.0)) + 2
+    ns_f = jnp.where(jnp.isfinite(ns_f), ns_f, 1100.0)
+    ns = jnp.clip(ns_f, 0.0, 1100.0).astype(jnp.int32)
     ns = jnp.where(hnorm > 0, ns, 0)
     scale = t / (2.0 ** ns).astype(f)
 

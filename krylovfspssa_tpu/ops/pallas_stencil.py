@@ -1276,12 +1276,18 @@ def make_pallas_stencil_matvec_v6(
     patU_f32 = jnp.asarray(patU, jnp.float32)
 
     # ---- per-(tile, reaction) row-factor scalars (f64 build) -------------
-    # shipped transposed (n_tiles, R) whole in VMEM (a (tpb, R) block spec
-    # violates the (8, 128)-divisibility rule) and read as dynamic (1, 1)
-    # row slices per (tile, reaction) — scalar-register SMEM indexing does
-    # not lower through Mosaic for f32 tables (observed remote-compile
-    # failure), while a (1, 1) VMEM splat is a native vector op
-    if n_tiles * LANES * 4 > 2 << 20:
+    # shipped transposed (n_tiles, R) whole in SMEM and read as true
+    # SCALARS per (reaction, tile): scalar * (T, LANES) vector is a native
+    # VPU op.  History of this spec: an earlier SMEM attempt failed the
+    # remote Mosaic compile with "failed to legalize func.return
+    # (i64, i64)" — later root-caused to the synthesized i64 BlockSpec
+    # index map under jax_enable_x64 (now explicit int32 everywhere), not
+    # to SMEM itself; the interim (1, 1)-VMEM-slice workaround then hit
+    # "Not implemented: Broadcast in both sublanes and lanes" (a (1,1)
+    # vector cannot be broadcast to a (T, 128) tile in one op —
+    # BENCH_r04.json tail).  SMEM scalar reads sidestep the vector-layout
+    # broadcast entirely.
+    if n_tiles * R * 4 > 16 << 10:  # stay well inside SMEM
         return None
     trow = np.arange(n_tiles) * T
     scal = np.ones((R, n_tiles), dtype=np.float64)
@@ -1422,9 +1428,8 @@ def make_pallas_stencil_matvec_v6(
                 else:
                     p = pu_ref[k]
                     if has_scal[k] and "no_scal" not in _ablate:
-                        p = p * scal_ref[
-                            pl.ds(i * jnp.int32(tpb) + t, 1), k : k + 1
-                        ]
+                        # SMEM scalar load; scalar * vector is legal
+                        p = p * scal_ref[i * jnp.int32(tpb) + t, k]
                     term = p * shifted
                 acc = acc + term
             if "no_mask" in _ablate:
@@ -1446,7 +1451,7 @@ def make_pallas_stencil_matvec_v6(
             pl.BlockSpec(
                 (n_tiles, R),
                 lambda i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(
                 (B, LANES), lambda i: (i, jnp.int32(0)),
@@ -1874,7 +1879,10 @@ def make_pallas_local_matvec_v6(
     if lead >= rows_l or excess >= rows_l:
         return None  # halo taller than a neighbour shard
     if lead == 0 or excess == 0:
-        return None  # degenerate one-sided stencil: keep the XLA path
+        # degenerate one-sided stencil: callers fall back to the v5-local
+        # Pallas kernel when it builds, else the XLA halo path
+        # (ops/halo.py selection)
+        return None
 
     def _placement(logp):
         placements, pmax = [], 1
@@ -1931,10 +1939,10 @@ def make_pallas_local_matvec_v6(
     patU_f32 = jnp.asarray(patU, jnp.float32)
 
     # global per-(tile, reaction) row-factor scalars, shipped (n_tiles, R)
-    # in VMEM whole (each shard reads its rows by a dynamic (1, 1) slice —
-    # scalar-register SMEM indexing does not lower through Mosaic for f32
-    # tables); gate the footprint since the lane dim pads to 128
-    if n_tiles * LANES * 4 > 2 << 20:
+    # whole in SMEM; each shard reads its rows as true scalars indexed
+    # GLOBALLY (row0/T + tile), multiplied into the (T, LANES) pattern —
+    # see the single-chip v6 spec comment for the Mosaic history
+    if n_tiles * R * 4 > 16 << 10:  # stay well inside SMEM
         return None
     trow = np.arange(n_tiles) * T
     scal = np.ones((R, n_tiles), dtype=np.float64)
@@ -2077,7 +2085,10 @@ def make_pallas_local_matvec_v6(
                     shifted = jnp.concatenate([hi, lo], axis=1)
                 p = pu_ref[k]
                 if has_scal[k]:
-                    p = p * scal_ref[pl.ds(tile0 + t, 1), k : k + 1]
+                    # SMEM scalar load; scalar * vector is legal (the
+                    # (1,1)-VMEM-slice form hits Mosaic's "Broadcast in
+                    # both sublanes and lanes" — see the single-chip v6)
+                    p = p * scal_ref[tile0 + t, k]
                 acc = acc + p * shifted
             y_ref[r0 : r0 + T, :] = jnp.where(
                 mc_ref[r0 : r0 + T, :] != 0, acc, 0.0
@@ -2097,7 +2108,7 @@ def make_pallas_local_matvec_v6(
             pl.BlockSpec(
                 (n_tiles, R),
                 lambda i: (jnp.int32(0), jnp.int32(0)),
-                memory_space=pltpu.VMEM,
+                memory_space=pltpu.SMEM,
             ),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),
             pl.BlockSpec(memory_space=pl.ANY if interpret else pltpu.HBM),

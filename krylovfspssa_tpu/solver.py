@@ -41,7 +41,7 @@ from .krylov.stepper import EPS, initial_carry, make_step_fn
 from .models.model import Model
 from .ops.operator import build_operator
 from .ops.spmv import spmv
-from .statespace.drop import drop_mask_device
+from .statespace.drop import drop_loss_rate, drop_mask_device
 from .statespace.encoding import StateEncoder
 from .statespace.expand import onestep_extend, ssa_extend
 from .statespace.table import StateTable
@@ -307,14 +307,18 @@ class CmeSolver:
 
         threading.Thread(target=work, daemon=True).start()
 
-    def _step(self, op, w, *args):
-        """Jitted single attempted step for the current capacity."""
-        cfg = self.config
+    def _step(self, op_active, w, *args):
+        """Jitted single attempted step for the current capacity.
+
+        Takes the (op, active) pair and compiles the SAME masked step
+        program as the fused loop (krylov/advance.py
+        make_masked_table_step) so fused and stepwise trajectories are
+        numerically identical."""
+        from .krylov.advance import make_masked_table_step
+
         m_eff = self._m_eff(w.shape[0])
         if m_eff not in self._steps:
-            step = make_step_fn(
-                lambda op: (lambda x: spmv(op, x)), self._cfg_eff(m_eff)
-            )
+            step = make_masked_table_step(self._cfg_eff(m_eff))
             if self.mesh is None:
                 self._steps[m_eff] = jax.jit(step)
             else:
@@ -327,7 +331,7 @@ class CmeSolver:
                 self._steps[m_eff] = jax.jit(
                     step,
                     in_shardings=(
-                        operator_shardings(self.mesh),
+                        (operator_shardings(self.mesh), self._row),
                         self._row,
                         carry_rep,
                         self._rep,
@@ -347,7 +351,7 @@ class CmeSolver:
                         err_loc=self._rep,
                     ),
                 )
-        return self._steps[m_eff](op, w, *args)
+        return self._steps[m_eff](op_active, w, *args)
 
     # ------------------------------------------------------------------ #
 
@@ -499,8 +503,18 @@ class CmeSolver:
                     f"exceeded {hard_cap} attempted steps (IFLAG=1 analog)"
                 )
 
-            res = self._step(op, w, carry, t_out, fsptol_j, krytol_j)
+            active = jnp.arange(table.capacity) < table.n
+            if self._row is not None:
+                active = jax.device_put(active, self._row)
+            res = self._step((op, active), w, carry, t_out, fsptol_j, krytol_j)
             w, carry = res.w, res.carry
+            if int(carry.iflag) == 3:
+                raise RuntimeError(
+                    "local Krylov error stayed NaN through the bounded "
+                    "tau/5 retry (iflag=3) — basis/H numerically "
+                    "corrupted (inf/NaN propensity, overscaled expm, or "
+                    "device-state corruption); inspect the operator"
+                )
             if int(carry.iflag) == 2:
                 raise RuntimeError(
                     f"step rejected more than mxreject={cfg.mxreject} times "
@@ -515,16 +529,35 @@ class CmeSolver:
             # ---- drop surplus mass (KrylovSolver.f90:509-511) ----------
             if advanced and dsum > 0.0:
                 inflow = self._matvec(op, w)
+                w64 = w.astype(jnp.float64)
+                inflow64 = inflow.astype(jnp.float64)
                 mask, count, _ = drop_mask_device(
-                    w.astype(jnp.float64),
-                    inflow.astype(jnp.float64),
+                    w64,
+                    inflow64,
                     jnp.asarray(table.n, jnp.int32),
                     jnp.asarray(dsum, jnp.float64),
                     droptol_start=cfg.droptol_start,
                     inflow_guard=cfg.inflow_guard,
                 )
                 count = int(count)
-                if count > cfg.drop_fraction * table.n:
+                # anti-thrash gate, same policy as the fused path's
+                # drop_inline (krylov/advance.py): only commit when the
+                # drop set's gross leak rate fits the scaled FSP budget
+                # rate, unless under memory pressure
+                loss_rate = float(
+                    drop_loss_rate(
+                        w64, inflow64, op.diag.astype(jnp.float64), mask
+                    )
+                )
+                rate_budget = (
+                    cfg.drop_rate_frac * float(fsptol_j) / abs(float(t_out))
+                )
+                pressure = cfg.max_states is not None and (
+                    table.n >= cfg.drop_pressure_frac * cfg.max_states
+                )
+                if count > cfg.drop_fraction * table.n and (
+                    loss_rate <= rate_budget or pressure
+                ):
                     keep = ~np.asarray(mask)[: table.n]
                     w_rows = np.asarray(w, dtype=np.float64)[: table.n]
                     dropped_mass = float(w_rows[~keep].sum())
@@ -685,6 +718,13 @@ class CmeSolver:
             maybe_checkpoint(table, w, carry, rng, keep)
             event = int(st.event)
             if event == EVENT_FAIL:
+                if int(carry.iflag) == 3:
+                    raise RuntimeError(
+                        "local Krylov error stayed NaN through the bounded "
+                        "tau/5 retry (iflag=3) — basis/H numerically "
+                        "corrupted (inf/NaN propensity, overscaled expm, or "
+                        "device-state corruption); inspect the operator"
+                    )
                 raise RuntimeError(
                     f"step rejected more than mxreject={cfg.mxreject} times "
                     "(IFLAG=2, KrylovSolver.f90:392-397); requested "

@@ -63,3 +63,26 @@ def drop_mask_device(
     mask = mask & ~(inflow > inflow_guard)
     count = jnp.sum(mask).astype(jnp.int32)
     return mask, count, droptol
+
+
+@jax.jit
+def drop_loss_rate(w, inflow, diag, dmask):
+    """Gross inflow rate into the drop set (the anti-thrash gate input).
+
+    The reference's per-state inflow guard (StateSpace.f90:486-495) tests
+    the NET derivative (A w)_i, which is ~0 for a quasi-equilibrated
+    boundary state that still carries real throughput.  Dropping such a
+    state truncates the GROSS flux sum_k a_k(pred) w_pred =
+    (A w)_i + D_i w_i — the rate the FSP criterion will charge on the
+    next step.  ``config.drop_rate_frac`` gates drop commits on this sum
+    staying under a fraction of the FSP budget rate fsp_tol/t_out (a fix
+    for the drop/expand limit cycle; no reference counterpart).
+
+    Args:
+      w: (cap,) f64 probability vector.
+      inflow: (cap,) f64 A @ w.
+      diag: (cap,) f64 positive total-outflow diagonal D.
+      dmask: (cap,) bool drop set.
+    """
+    gross = inflow + diag * w
+    return jnp.sum(jnp.where(dmask, jnp.maximum(gross, 0.0), 0.0))
