@@ -43,7 +43,16 @@ def main():
 
     print("devices:", jax.devices(), flush=True)
     model = goutsias_model()
-    cfg = SolverConfig(dtype="float64", verbosity=1)
+    # max_steps_per_call=1: one attempted step per device dispatch.  The
+    # round-4/5 "TPU worker crashed" at t=218.67 was a too-long fused
+    # dispatch, not a kernel fault: at 300-660k states the f64
+    # gather-ELL matvec costs ~160-320 ms (XLA serializes the scalar
+    # gathers — TABLE_MATVEC.json), so a 10-step dispatch with a
+    # rejection cascade runs 200-500 s of device time and trips the
+    # remote execution watchdog (~4 min), deterministically at the
+    # tau=2.5 rejection cascade after that expansion.  Single-step
+    # dispatches stay ~16-50 s; the extra host re-entry costs ~27 ms.
+    cfg = SolverConfig(dtype="float64", verbosity=1, max_steps_per_call=1)
     solver = CmeSolver(model, cfg)
 
     # stream step records to disk as they arrive
@@ -62,7 +71,7 @@ def main():
         fsp_tol=args.fsp_tol,
         krylov_tol=args.krylov_tol,
         checkpoint_path=CKPT,
-        checkpoint_every=10,
+        checkpoint_every=5,
         verbosity=2,
     )
     if args.resume and os.path.exists(CKPT):

@@ -114,39 +114,42 @@ def main():
     tA = bench_matvec(make_stencil_matvec(model, box1, dtype), box1)
     out["A_unsharded_V_ms"] = round(tA * 1e3, 4)
 
-    # A': unsharded PALLAS kernel at V (f32 TPU) — the like-for-like
-    # baseline for the halo path, which runs the Pallas LOCAL kernel
-    # there; B - A' isolates pure shard_map/exchange overhead without
-    # conflating kernel generations
+    # build the 1-device halo path FIRST so A' (the like-for-like
+    # unsharded baseline) can use the SAME local kernel generation the
+    # halo path actually selected (ops/halo.py records it on the matvec;
+    # previously A' could bench v6 while the halo path ran v5-local,
+    # contaminating shard_overhead_1dev_ms)
+    mesh1 = make_mesh(1)
+    row1 = NamedSharding(mesh1, P(STATE_AXIS))
+    mv1 = make_halo_stencil_matvec(model, box1, mesh1, dtype)
+
+    # A': unsharded PALLAS kernel at V (f32 TPU), generation-matched;
+    # B - A' isolates pure shard_map/exchange overhead
     tA_pl = None
-    if dtype == jnp.float32 and platform not in ("cpu", "gpu"):
+    if (dtype == jnp.float32 and platform not in ("cpu", "gpu")
+            and mv1 is not None and getattr(mv1, "_pallas_local", False)):
         from krylovfspssa_tpu.ops.pallas_stencil import (
             make_pallas_stencil_matvec_v5,
             make_pallas_stencil_matvec_v6,
         )
 
-        # v6 first, v5 on factory refusal OR compile failure (the v6
-        # family does not lower through the remote Mosaic compiler yet)
-        for mk in (make_pallas_stencil_matvec_v6,
-                   make_pallas_stencil_matvec_v5):
-            mv_pl = mk(model, box1)
-            if mv_pl is None:
-                continue
+        gen = getattr(mv1, "_local_kernel", None) or "v5"
+        mk = (make_pallas_stencil_matvec_v6 if gen == "v6"
+              else make_pallas_stencil_matvec_v5)
+        mv_pl = mk(model, box1)
+        if mv_pl is not None:
             try:
                 tA_pl = bench_matvec(mv_pl, box1)
                 out["A_pallas_V_ms"] = round(tA_pl * 1e3, 4)
-                out["A_pallas_kernel"] = mk.__name__[-2:]
-                break
+                out["A_pallas_kernel"] = gen
             except Exception as e:  # noqa: BLE001
                 print(f"{mk.__name__} failed: {str(e)[:160]}",
                       file=sys.stderr, flush=True)
                 tA_pl = None
 
     # B: halo over 1-device mesh at V
-    mesh1 = make_mesh(1)
-    row1 = NamedSharding(mesh1, P(STATE_AXIS))
-    mv1 = make_halo_stencil_matvec(model, box1, mesh1, dtype)
     if mv1 is not None:
+        out["halo_local_kernel"] = getattr(mv1, "_local_kernel", None)
         tB = bench_matvec(mv1, box1, row1)
         out["B_halo_1dev_V_ms"] = round(tB * 1e3, 4)
         base = tA_pl if (

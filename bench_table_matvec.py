@@ -1,10 +1,13 @@
 """Gather-ELL matvec optimization experiments (VERDICT r4 item 5).
 
 The reference-format table matvec (StateSpace.f90:13-17 + FMATVEC,
-KrylovSolver.f90:588-606) is the flagship's actual kernel: 0.212 ms /
-14.5 Gnnz/s at 279k states (SUPPORT_REPR.json) vs 253 Gnnz/s for the
-box stencil path.  This bench measures the candidate designs on the
-live flagship support (flagship_r04_ckpt.npz):
+KrylovSolver.f90:588-606) is the flagship's actual kernel.  Round-5
+finding: the production (cap, R) batched gather costs ~158 ms at the
+279k-state flagship support in f64 — ~30 ns PER ELEMENT, i.e. XLA
+serializes the scalar gathers on TPU (the earlier 0.212 ms reading in
+SUPPORT_REPR.json did not reproduce and is superseded by this harness).
+That serial gather is the flagship's 12 s/step.  Candidate designs
+measured here on the live support (flagship_r04_ckpt.npz):
 
   * ell_row    — production spmv: (cap, R) pred tables, one batched
                  gather + row reduction (ops/spmv.py);
@@ -15,7 +18,7 @@ live flagship support (flagship_r04_ckpt.npz):
                  stride); entries matching the mode offset become a
                  SHIFTED multiply-add (pure streaming, no gather), the
                  rest (boundary states) go to a padded COO correction
-                 applied with one small gather + segment-sum.
+                 applied with one small gather + scatter-add.
 
 each x {append, sorted} row order, x {f64, f32} vector dtype.
 
@@ -31,21 +34,32 @@ import time
 import numpy as np
 
 
-def time_matvec(fn, x, iters=200):
-    """Chained device-side loop (bench.py methodology)."""
+def time_matvec(fn, x, target_s=2.0):
+    """Chained device-side loop (bench.py methodology) with the iteration
+    count auto-calibrated: the variants here span 0.05 ms .. 160 ms."""
     import jax
     import jax.numpy as jnp
 
-    @jax.jit
-    def run(v):
-        def body(i, v):
-            y = fn(v)
-            nrm = jnp.sqrt(jnp.sum(y * y) + 1e-300).astype(v.dtype)
-            return y / nrm
+    def make_run(iters):
+        @jax.jit
+        def run(v):
+            def body(i, v):
+                y = fn(v)
+                nrm = jnp.sqrt(jnp.sum(y * y) + 1e-300).astype(v.dtype)
+                return y / nrm
 
-        return jax.lax.fori_loop(0, iters, body, v)
+            return jax.lax.fori_loop(0, iters, body, v)
 
-    jax.block_until_ready(run(x))  # compile + warm
+        return run
+
+    probe = make_run(3)
+    jax.block_until_ready(probe(x))  # compile + warm
+    t0 = time.perf_counter()
+    jax.block_until_ready(probe(x))
+    per = (time.perf_counter() - t0) / 3
+    iters = int(max(10, min(400, target_s / max(per, 1e-6))))
+    run = make_run(iters)
+    jax.block_until_ready(run(x))
     t0 = time.perf_counter()
     jax.block_until_ready(run(x))
     return (time.perf_counter() - t0) / iters
@@ -76,11 +90,10 @@ def make_delta(op, verbose=True):
     For each reaction k, host-side: delta = pred_idx[:, k] - row; the
     mode of delta over valid entries is the lattice stride of -nu_k in
     the current row order.  Mode-matching entries are applied as
-    prop * shift(x, mode) (a concatenate of two contiguous slices —
-    streams at HBM bandwidth); the rest become one padded COO list
+    prop * shift(x, mode) (two contiguous slices — streams at HBM
+    bandwidth, no gather); the rest become one padded COO list
     (row, src, prop) applied via gather + index_add.
     """
-    import jax
     import jax.numpy as jnp
 
     pred_idx = np.asarray(op.pred_idx)
@@ -116,8 +129,8 @@ def make_delta(op, verbose=True):
     corr_src = np.concatenate(corr_src) if corr_src else np.zeros(0, int)
     corr_prop = np.concatenate(corr_prop) if corr_prop else np.zeros(0)
     ncorr = len(corr_rows)
-    # pad corrections to a bucketed size (row=cap-1? no: use row 0 with
-    # prop 0 so the scatter-add is a no-op)
+    # pad corrections to a bucketed size; padding rows carry prop 0 into
+    # row 0, a no-op under scatter-add
     pad = max(1024, 1 << int(np.ceil(np.log2(max(ncorr, 1)))))
     cr = np.zeros(pad, np.int32)
     cs = np.zeros(pad, np.int32)
@@ -143,7 +156,7 @@ def make_delta(op, verbose=True):
 
     def mv(x):
         z = jnp.zeros((), x.dtype)
-        y = -diag * x
+        y = (-diag * x).astype(x.dtype)
         for k in range(R):
             m = modes[k]
             if not np.any(shift_props[k]):
@@ -160,7 +173,7 @@ def make_delta(op, verbose=True):
                     [jnp.full(-m, z, x.dtype), x[:m]]
                 )
             y = y + shift_props_j[k].astype(x.dtype) * shifted
-        # corrections: gather + scatter-add
+        # corrections: one small gather + scatter-add
         contrib = cp_j.astype(x.dtype) * x[cs_j]
         y = y.at[cr_j].add(contrib)
         return y
@@ -199,45 +212,42 @@ def main():
         )
     orders = {"append": np.arange(n), "sorted": sort_perm}
 
-    build = jax.jit(
-        lambda s, k, r, nn: build_operator(
-            s, k, r, nn, model.propensities, jnp.asarray(stoich), enc,
-            jnp.float64,
-        )
-    )
     mv_row = jax.jit(spmv)
-
     y_ref = {}
     for oname, perm in orders.items():
         t = StateTable.from_states(states[perm], enc, 4096, None)
-        op = build(
-            t.states, t.sorted_keys, t.sorted_to_row,
-            jnp.asarray(t.n, jnp.int32),
-        )
-        op = jax.block_until_ready(op)
-        x = np.zeros(t.capacity)
+        x_np = np.zeros(t.capacity)
         rows = np.asarray(t.lookup_states(states))
-        x[rows] = w
+        x_np[rows] = w
+        for dt, dname in ((jnp.float64, "f64"), (jnp.float32, "f32")):
+            build = jax.jit(
+                lambda s, k, r, nn, dt=dt: build_operator(
+                    s, k, r, nn, model.propensities, jnp.asarray(stoich),
+                    enc, dt,
+                )
+            )
+            op = jax.block_until_ready(build(
+                t.states, t.sorted_keys, t.sorted_to_row,
+                jnp.asarray(t.n, jnp.int32),
+            ))
+            variants = {
+                "ell_row": lambda v, op=op: mv_row(op, v),
+                "ell_col": make_ell_col(op),
+                "delta": make_delta(op, verbose=(dname == "f64")),
+            }
+            if dname == "f64":
+                out[f"{oname}_delta_stats"] = variants["delta"]._stats
 
-        variants = {
-            "ell_row": lambda v, op=op: mv_row(op, v),
-            "ell_col": make_ell_col(op),
-            "delta": make_delta(op),
-        }
-        if hasattr(variants["delta"], "_stats"):
-            out[f"{oname}_delta_stats"] = variants["delta"]._stats
-
-        for vname, fn in variants.items():
-            for dt, dname in ((jnp.float64, "f64"), (jnp.float32, "f32")):
-                xj = jnp.asarray(x, dt)
+            for vname, fn in variants.items():
+                xj = jnp.asarray(x_np, dt)
                 per = time_matvec(fn, xj)
                 y = np.asarray(fn(xj), np.float64)[rows]
-                key = "ref" if dname == "f64" else "ref32"
-                if key not in y_ref:
-                    y_ref[key] = y
+                if "ref" not in y_ref:
+                    y_ref["ref"] = y  # append/ell_row/f64 ground truth
+                ref = y_ref["ref"]
                 rel = float(
-                    np.max(np.abs(y - y_ref[key]))
-                    / max(np.max(np.abs(y_ref[key])), 1e-300)
+                    np.max(np.abs(y - ref))
+                    / max(np.max(np.abs(ref)), 1e-300)
                 )
                 rec = {
                     "ms_per_matvec": round(per * 1e3, 4),

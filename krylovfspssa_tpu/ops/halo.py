@@ -34,6 +34,37 @@ from .stencil import _FIELD_LANES, _factored_reaction_tables
 LANES = _FIELD_LANES
 
 
+def _compile_probe(pl_local, local_rows):
+    """Execute the Pallas local kernel once on zeros to force the (remote)
+    Mosaic compile at BUILD time.  A kernel that traces fine can still be
+    rejected by the hardware lowering (both round-4 v6 failures were
+    compile-time-only), and inside shard_map that failure would surface
+    mid-solve; probing here lets the caller fall back a kernel generation
+    instead.  Returns the kernel, or None if the compile/run failed."""
+    lead, excess = pl_local._lead, pl_local._excess
+    try:
+        z = jnp.zeros((local_rows, LANES), jnp.float32)
+        pl_local(
+            z,
+            jnp.zeros((lead, LANES), jnp.float32),
+            jnp.zeros((excess, LANES), jnp.float32),
+            jnp.zeros((local_rows, LANES), jnp.int8),
+            z,
+            jnp.zeros((1, 1), jnp.int32),
+        )
+        return pl_local
+    except Exception as e:  # noqa: BLE001 — any lowering failure
+        import sys
+
+        print(
+            f"halo local kernel compile probe failed "
+            f"({type(e).__name__}: {str(e)[:200]}); falling back",
+            file=sys.stderr,
+            flush=True,
+        )
+        return None
+
+
 def _local_field(box, tabs_by_species, const, dtype, row0, local_rows):
     """(local_rows*128,) rank-1 field slice starting at global row ``row0``
     (a traced int32).  Same math as stencil._lane_field, with the row
@@ -131,18 +162,26 @@ def make_halo_stencil_matvec(
                 make_pallas_local_matvec_v6,
             )
 
-            # v6-local is interpret-validated but not yet TPU-validated
-            # (the v6 family does not lower through Mosaic remotely,
-            # round 4) — real-TPU meshes stay on v5-local
-            pl_local = None
-            if pallas_interpret or use_pallas == "v6":
+            # v6-local (SMEM scalar table, round 5) is preferred; on real
+            # TPU a build-time compile probe guards against Mosaic
+            # lowering regressions and falls back to v5-local (the round-4
+            # VMEM-splat v6 failed only at remote compile time, which a
+            # factory None cannot express)
+            pl_local, pl_gen = None, None
+            if use_pallas != "v5":
                 pl_local = make_pallas_local_matvec_v6(
                     model, box, n_dev, interpret=pallas_interpret
                 )
+                if pl_local is not None and not pallas_interpret:
+                    pl_local = _compile_probe(pl_local, local // LANES)
+                pl_gen = "v6" if pl_local is not None else None
             if pl_local is None:
                 pl_local = make_pallas_local_matvec_v5(
                     model, box, n_dev, interpret=pallas_interpret
                 )
+                if pl_local is not None and not pallas_interpret:
+                    pl_local = _compile_probe(pl_local, local // LANES)
+                pl_gen = "v5" if pl_local is not None else None
     if pl_local is not None:
         from .stencil import make_diag_fn
 
@@ -191,6 +230,7 @@ def make_halo_stencil_matvec(
             return mv(mask, x, D_sh)
 
         matvec._pallas_local = True
+        matvec._local_kernel = pl_gen
         return matvec
 
     def local_matvec(mask_l, x_l):

@@ -300,16 +300,16 @@ def select_stencil_matvec(model: Model, box: BoxSpace, config, dtype,
 
         on_tpu = jax.default_backend() not in ("cpu", "gpu")
         if use == "always" or (on_tpu and pallas_applicable(box)):
-            # v5/v4 (zero-copy input, overlapped DMA) assume
+            # v6/v5/v4 (zero-copy input, overlapped DMA) assume
             # supp(x) ⊆ mask — an invariant of the Krylov iteration (every
             # Arnoldi vector is a combination of masked matvec outputs;
-            # drop/growth re-mask w).  v6 (scalarized row factors) is
-            # correct in interpret mode but does not yet lower through
-            # the TPU Mosaic backend (remote-compile failure, round 4) —
-            # production stays on v5 until it is TPU-validated; opt in
-            # with use_pallas="v6".
+            # drop/growth re-mask w).  v6 (scalarized row factors, SMEM
+            # scalar table) is the round-5 production default: TPU
+            # hardware-validated at 0.171 ms / 300% stored-CSR roofline
+            # on the flagship box vs v5's 0.181 ms (V6_BENCH.jsonl);
+            # use_pallas="v5" pins the previous default.
             mv = None
-            if use == "v6" or not on_tpu:
+            if use != "v5":
                 mv = make_pallas_stencil_matvec_v6(model, box)
             if mv is None:
                 mv = make_pallas_stencil_matvec_v5(model, box)
