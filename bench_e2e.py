@@ -160,9 +160,13 @@ def main():
     backends = (
         ("table", "box") if "--both-backends" in sys.argv else ("table",)
     )
+    dtypes = (
+        ("float64",) if "--f64-only" in sys.argv
+        else ("float64", "float32")
+    )
     names = args or ["toggle", "goutsias"]
     for name in names:
-        for dtype in ("float64", "float32"):
+        for dtype in dtypes:
             for backend in backends:
                 t0 = time.time()
                 try:
