@@ -85,6 +85,19 @@ class SolverConfig:
     init_capacity: int = 1 << 12
     #: capacity growth factor when the state set outgrows its bucket
     capacity_growth: int = 2
+    #: table-backend operator representation: "ell" = the reference-format
+    #: gather-ELL (ops/operator.py; XLA:TPU serializes its per-element
+    #: gathers to ~30 ns each — fine for small FSPs, ~160 ms/matvec at
+    #: 600k states), "pencil" = the support-adapted row-gather +
+    #: lane-shift form (ops/pencil.py; no per-element gathers, ~3x cell
+    #: padding).  "auto" = pencil on TPU backends when the mesh is unset
+    #: and the layout stays efficient, else ell.
+    table_operator: str = "auto"
+    #: lane species of the pencil layout (None = per-solve argmax extent)
+    pencil_lane_species: int | None = None
+    #: "auto" falls back to ell when pencil cell over-coverage exceeds
+    #: this factor (degenerate supports where lane runs are tiny)
+    pencil_max_overcoverage: float = 8.0
 
     # ---- box backend ----------------------------------------------------
     #: run the box backend's whole main loop inside one jitted while_loop

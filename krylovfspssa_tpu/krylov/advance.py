@@ -137,12 +137,14 @@ def make_masked_table_step(config: SolverConfig):
 
         return mv
 
+    from ..ops.spmv import operator_nreactions
+
     return make_step_fn(
         masked_matvec,
         config,
         op_info=lambda oa: (
             jnp.sum(oa[1]).astype(jnp.int32),
-            oa[0].props.shape[1],
+            operator_nreactions(oa[0]),
         ),
     )
 

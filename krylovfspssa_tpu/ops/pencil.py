@@ -138,34 +138,72 @@ def _lookup_bases(layout: PencilLayout, queries: np.ndarray) -> np.ndarray:
     return np.where(hit, pos, -1).astype(np.int64)
 
 
-class PencilOperator(NamedTuple):
+class PencilOperator:
     """Device arrays of the pencil-form projected CME generator.
 
-    The matvec is
+    Per-cell fields are FLAT (cells,) so the solver's vector machinery
+    (masked step, inline drop, norms) treats a pencil solve exactly
+    like a table solve; the matvec reshapes to (rows, LANES) itself:
 
         y2d = -diag * x2d
         for k:  y2d += pred_prop[k] * lane_shift(x2d[src_a[k]],
                                                  x2d[src_b[k]], shift[k])
         y2d *= mask
 
-    with ``shift`` STATIC per reaction (stoichiometry of the lane
-    species) and src_* row indices precomputed.
+    Registered as a custom pytree with ``shifts`` (the lane-species
+    stoichiometry per reaction) as STATIC aux data: the lane shifts are
+    structural — each value compiles a different slice — so they must
+    stay python ints under jit, not tracers.
+
+    Fields: diag (cells,) total outflow at member cells / 0 at padding;
+    mask (cells,) int8 member mask; pred_prop (R, cells) a_k(pred cell)
+    or 0 where the predecessor is absent/illegal; src_a / src_b
+    (R, rows) int32 source rows for the high/low lanes (-1 -> zeros);
+    n: active member-state count (traced scalar ok).
     """
 
-    #: (rows, LANES) f: total outflow at member cells, 0 at padding
-    diag: jnp.ndarray
-    #: (rows, LANES) int8 member mask
-    mask: jnp.ndarray
-    #: (R, rows, LANES) f: a_k(pred cell), 0 where pred absent/illegal
-    pred_prop: jnp.ndarray
-    #: (R, rows) int32 source row for the high lanes (-1 -> zeros)
-    src_a: jnp.ndarray
-    #: (R, rows) int32 source row for the low lanes (-1 -> zeros)
-    src_b: jnp.ndarray
-    #: per-reaction lane shift of the lane species (static python ints)
-    shifts: tuple
-    #: active member-state count (traced scalar ok)
-    n: jnp.ndarray
+    def __init__(self, diag, mask, pred_prop, src_a, src_b, shifts, n):
+        self.diag = diag
+        self.mask = mask
+        self.pred_prop = pred_prop
+        self.src_a = src_a
+        self.src_b = src_b
+        self.shifts = tuple(int(s) for s in shifts)
+        self.n = n
+
+    def tree_flatten(self):
+        return (
+            (self.diag, self.mask, self.pred_prop, self.src_a,
+             self.src_b, self.n),
+            self.shifts,
+        )
+
+    @classmethod
+    def tree_unflatten(cls, shifts, children):
+        diag, mask, pred_prop, src_a, src_b, n = children
+        obj = cls.__new__(cls)
+        obj.diag = diag
+        obj.mask = mask
+        obj.pred_prop = pred_prop
+        obj.src_a = src_a
+        obj.src_b = src_b
+        obj.shifts = shifts
+        obj.n = n
+        return obj
+
+    def _replace(self, **kw):
+        fields = dict(
+            diag=self.diag, mask=self.mask, pred_prop=self.pred_prop,
+            src_a=self.src_a, src_b=self.src_b, shifts=self.shifts,
+            n=self.n,
+        )
+        fields.update(kw)
+        return PencilOperator(**fields)
+
+
+import jax as _jax  # noqa: E402  (registration needs jax at import)
+
+_jax.tree_util.register_pytree_node_class(PencilOperator)
 
 
 def build_pencil_operator(
@@ -274,10 +312,11 @@ def build_pencil_operator(
         pred_prop[k] = pk
 
     f = dtype
+    cells = rows * LANES
     return PencilOperator(
-        diag=jnp.asarray(diag, f),
-        mask=jnp.asarray(member, jnp.int8),
-        pred_prop=jnp.asarray(pred_prop, f),
+        diag=jnp.asarray(diag.reshape(cells), f),
+        mask=jnp.asarray(member.reshape(cells), jnp.int8),
+        pred_prop=jnp.asarray(pred_prop.reshape(R, cells), f),
         src_a=jnp.asarray(src_a),
         src_b=jnp.asarray(src_b),
         shifts=tuple(shifts),
@@ -287,9 +326,9 @@ def build_pencil_operator(
 
 def pencil_matvec(op: PencilOperator, x: jnp.ndarray) -> jnp.ndarray:
     """y = A_J @ x on the pencil layout; x flat (rows*LANES,)."""
-    rows = op.diag.shape[0]
+    rows = op.src_a.shape[1]
     x2 = x.reshape(rows, LANES)
-    y = -op.diag * x2
+    y = -op.diag.reshape(rows, LANES) * x2
     zero_row = jnp.zeros((1, LANES), x2.dtype)
     # padded x with a zeros row at index `rows` so src == -1 gathers 0
     xp = jnp.concatenate([x2, zero_row], axis=0)
@@ -308,6 +347,128 @@ def pencil_matvec(op: PencilOperator, x: jnp.ndarray) -> jnp.ndarray:
         else:
             z = jnp.concatenate([ga, gb], axis=1)
             shifted = z[:, -s : LANES - s]
-        y = y + op.pred_prop[k] * shifted
-    y = jnp.where(op.mask != 0, y, 0)
+        y = y + op.pred_prop[k].reshape(rows, LANES) * shifted
+    y = jnp.where(op.mask.reshape(rows, LANES) != 0, y, 0)
     return y.reshape(rows * LANES)
+
+
+def make_pencil_operator_builder(
+    model, stoichiometry, lane_species: int, species_cap: int,
+    dtype=jnp.float64,
+):
+    """Jitted DEVICE builder of the pencil operator fields.
+
+    The host supplies only the small index tables (bases, row maps,
+    source rows, member mask — a few MB); the heavy per-cell work
+    (propensity evaluation over all cells x reactions, predecessor
+    membership via the same row-gather + lane-shift as the matvec,
+    diagonal) runs in ONE jitted call per rows-bucket.  This keeps
+    per-epoch rebuild cost device-side — eager per-op dispatch through
+    a remote tunnel would cost hundreds of round-trips.
+    """
+    import jax
+
+    stoich = jnp.asarray(np.asarray(stoichiometry), jnp.int32)
+    R, d = stoich.shape
+    others = [s for s in range(d) if s != lane_species]
+    shifts = tuple(int(np.asarray(stoichiometry)[k, lane_species])
+                   for k in range(R))
+
+    def build(bases, row_base, row_block, src_a, src_b, mask, n):
+        """bases (nb, d-1) i32; row_base/row_block (rows,) i32;
+        src_a/src_b (R, rows) i32; mask (cells,) bool; n scalar i32."""
+        rows = row_base.shape[0]
+        cells = rows * LANES
+        lane = jnp.arange(LANES, dtype=jnp.int32)
+        padded = row_base < 0
+        safe_base = jnp.maximum(row_base, 0)
+        cell_state = jnp.zeros((rows, LANES, d), jnp.int32)
+        cell_state = cell_state.at[:, :, jnp.asarray(others)].set(
+            bases[safe_base][:, None, :]
+        )
+        cell_state = cell_state.at[:, :, lane_species].set(
+            row_block[:, None] * LANES + lane[None, :]
+        )
+        m2 = mask.reshape(rows, LANES)
+
+        flat = cell_state.reshape(cells, d)
+        props_all = model.propensities(flat).reshape(rows, LANES, R)
+        diag = jnp.where(m2, props_all.sum(axis=-1), 0.0)
+        diag = jnp.where(padded[:, None], 0.0, diag)
+
+        mask_f = mask.astype(dtype)
+        mask2 = mask_f.reshape(rows, LANES)
+        zero_row = jnp.zeros((1, LANES), dtype)
+        mp = jnp.concatenate([mask2, zero_row], axis=0)
+
+        preds = []
+        for k in range(R):
+            s = shifts[k]
+            pred_state = cell_state - stoich[k][None, None, :]
+            legal = jnp.all(
+                (pred_state >= 0) & (pred_state <= species_cap), axis=-1
+            )
+            pk = model.propensities(
+                pred_state.reshape(cells, d)
+            ).reshape(rows, LANES, R)[:, :, k]
+            # pred membership by the same row-gather + lane-shift
+            ia = jnp.where(src_a[k] >= 0, src_a[k], rows)
+            ib = jnp.where(src_b[k] >= 0, src_b[k], rows)
+            ga, gb = mp[ia], mp[ib]
+            if s == 0:
+                member_sh = gb
+            elif s > 0:
+                z = jnp.concatenate([ga, gb], axis=1)
+                member_sh = z[:, LANES - s : 2 * LANES - s]
+            else:
+                z = jnp.concatenate([ga, gb], axis=1)
+                member_sh = z[:, -s : LANES - s]
+            pk = jnp.where(legal & (member_sh > 0) & m2, pk, 0.0)
+            preds.append(pk.reshape(cells))
+        pred_prop = jnp.stack(preds, axis=0).astype(dtype)
+
+        return PencilOperator(
+            diag=diag.reshape(cells).astype(dtype),
+            mask=mask.astype(jnp.int8),
+            pred_prop=pred_prop,
+            src_a=src_a,
+            src_b=src_b,
+            shifts=shifts,
+            n=n,
+        )
+
+    return jax.jit(build)
+
+
+def host_index_tables(layout: PencilLayout, stoichiometry: np.ndarray):
+    """Host-side source-row tables for the device builder (cheap: one
+    base searchsorted per reaction over ~n/128 rows)."""
+    stoich = np.asarray(stoichiometry, dtype=np.int64)
+    R, d = stoich.shape
+    ls = layout.lane_species
+    others = [s for s in range(d) if s != ls]
+    nb = len(layout.bases)
+    rows = layout.n_rows
+    src_a = np.full((R, rows), -1, dtype=np.int32)
+    src_b = np.full((R, rows), -1, dtype=np.int32)
+    blk = layout.row_block.astype(np.int64)
+    base_of_row = layout.bases[layout.row_base].astype(np.int64)
+    for k in range(R):
+        s = int(stoich[k, ls])
+        if abs(s) >= LANES:
+            raise ValueError(
+                f"lane-species stoichiometry {s} exceeds the lane width"
+            )
+        b2 = _lookup_bases(layout, base_of_row - stoich[k, others])
+        blocks = (blk - 1, blk) if s >= 0 else (blk, blk + 1)
+        for which, bb in enumerate(blocks):
+            valid = (b2 >= 0) & (bb >= 0) & (
+                bb < layout.base_nrows[np.clip(b2, 0, nb - 1)]
+            )
+            r = np.where(
+                valid,
+                layout.base_row_start[np.clip(b2, 0, nb - 1)] + bb,
+                -1,
+            ).astype(np.int32)
+            (src_a if which == 0 else src_b)[k] = r
+    return src_a, src_b

@@ -85,6 +85,59 @@ class SolveResult:
         return variance(self.states, self.probabilities)
 
 
+class _EllVec:
+    """Device-vector layout for the gather-ELL operator: vector index ==
+    table row, padded to the capacity bucket."""
+
+    def __init__(self, table: StateTable):
+        self._table = table
+        self.cells = table.capacity
+
+    def put(self, w_rows: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.cells, dtype=np.float64)
+        out[: min(len(w_rows), self.cells)] = w_rows[: self.cells]
+        return out
+
+    def take(self, w_np) -> np.ndarray:
+        return np.asarray(w_np, dtype=np.float64)[: self._table.n]
+
+    def active0(self):
+        return jnp.arange(self.cells) < self._table.n
+
+    def keep_rows(self, cells_np) -> np.ndarray:
+        return np.asarray(cells_np)[: self._table.n]
+
+
+class _PencilVec:
+    """Device-vector layout for the pencil operator: vector index ==
+    pencil cell (rows x 128 lanes), padded to the rows bucket
+    (ops/pencil.py)."""
+
+    def __init__(self, layout, cells: int):
+        self.layout = layout
+        self.cells = cells
+        flat = layout.mask.reshape(-1)
+        m = np.zeros(cells, dtype=bool)
+        m[: flat.shape[0]] = flat
+        self._mask = m
+
+    def put(self, w_rows: np.ndarray) -> np.ndarray:
+        out = np.zeros(self.cells, dtype=np.float64)
+        out[self.layout.slot_of_state[: len(w_rows)]] = w_rows
+        return out
+
+    def take(self, w_np) -> np.ndarray:
+        return np.asarray(w_np, dtype=np.float64)[
+            self.layout.slot_of_state
+        ]
+
+    def active0(self):
+        return jnp.asarray(self._mask)
+
+    def keep_rows(self, cells_np) -> np.ndarray:
+        return np.asarray(cells_np)[self.layout.slot_of_state]
+
+
 class CmeSolver:
     """Reusable solver bound to one model (jit caches persist across solves).
 
@@ -355,13 +408,96 @@ class CmeSolver:
 
     # ------------------------------------------------------------------ #
 
+    def _choose_operator(self, table: StateTable):
+        """Resolve the table-operator representation for this solve
+        (config.table_operator).  The pencil form (ops/pencil.py) avoids
+        XLA:TPU's serialized per-element gathers (~30 ns each — ~160 ms
+        per matvec at the 600k-state flagship support) at ~3x cell
+        padding; "auto" picks it on TPU single-device solves when the
+        initial layout stays efficient.  Mesh solves stay on ell (the
+        sharded path's shardings are row-layout)."""
+        cfg = self.config
+        self._pencil_lane = None
+        mode = cfg.table_operator
+        if mode == "ell" or self.mesh is not None:
+            return
+        if mode == "auto" and jax.default_backend() in ("cpu", "gpu"):
+            return  # CPU/GPU vectorize the ELL gathers fine
+        from .ops.pencil import build_pencil_layout
+
+        states = np.asarray(table.states[: table.n])
+        lane = cfg.pencil_lane_species
+        if lane is None:
+            lane = int(np.argmax(states.max(axis=0)))
+        layout = build_pencil_layout(states, lane)
+        over = layout.n_cells / max(table.n, 1)
+        if mode == "auto" and over > cfg.pencil_max_overcoverage:
+            return
+        self._pencil_lane = lane
+
     def _operator(self, table: StateTable):
-        return self._build_op(
+        """(operator, vector-layout) for the current state set."""
+        if getattr(self, "_pencil_lane", None) is not None:
+            return self._pencil_operator(table)
+        op = self._build_op(
             table.states,
             table.sorted_keys,
             table.sorted_to_row,
             jnp.asarray(table.n, jnp.int32),
         )
+        return op, _EllVec(table)
+
+    def _pencil_operator(self, table: StateTable):
+        """Build the pencil operator: host computes the small index
+        tables (layout + source rows); per-cell fields build in one
+        jitted device call per rows-bucket (ops/pencil.py)."""
+        from .ops.pencil import (
+            LANES,
+            build_pencil_layout,
+            host_index_tables,
+            make_pencil_operator_builder,
+        )
+
+        lane = self._pencil_lane
+        states = np.asarray(table.states[: table.n])
+        layout = build_pencil_layout(states, lane)
+        src_a, src_b = host_index_tables(layout, self._stoich)
+        rows = layout.n_rows
+        rows_b = max(64, 1 << int(np.ceil(np.log2(max(rows, 1)))))
+        nb = len(layout.bases)
+        nb_b = max(64, 1 << int(np.ceil(np.log2(max(nb, 1)))))
+        d = self.model.n_species
+        R = self._stoich.shape[0]
+        bases_p = np.zeros((nb_b, d - 1), np.int32)
+        bases_p[:nb] = layout.bases
+        row_base_p = np.full(rows_b, -1, np.int32)
+        row_base_p[:rows] = layout.row_base
+        row_block_p = np.zeros(rows_b, np.int32)
+        row_block_p[:rows] = layout.row_block
+        src_a_p = np.full((R, rows_b), -1, np.int32)
+        src_a_p[:, :rows] = src_a
+        src_b_p = np.full((R, rows_b), -1, np.int32)
+        src_b_p[:, :rows] = src_b
+        cells = rows_b * LANES
+        mask_p = np.zeros(cells, bool)
+        mask_p[: rows * LANES] = layout.mask.reshape(-1)
+
+        key = ("pencil_build", lane)
+        if key not in self._steps:
+            self._steps[key] = make_pencil_operator_builder(
+                self.model, self._stoich, lane,
+                self.encoder.species_cap, self._dtype,
+            )
+        op = self._steps[key](
+            jnp.asarray(bases_p),
+            jnp.asarray(row_base_p),
+            jnp.asarray(row_block_p),
+            jnp.asarray(src_a_p),
+            jnp.asarray(src_b_p),
+            jnp.asarray(mask_p),
+            jnp.asarray(table.n, jnp.int32),
+        )
+        return op, _PencilVec(layout, cells)
 
     def solve(
         self,
@@ -407,9 +543,11 @@ class CmeSolver:
             table = StateTable.from_states(
                 states_ck, self.encoder, cfg.init_capacity, cfg.max_states
             )
-            w_np = _repad(w_ck, table.capacity)
-            w = self._put_row(w_np, self._dtype)
-            op = self._operator(table)
+            self._choose_operator(table)
+            op, vl = self._operator(table)
+            w = self._put_row(
+                vl.put(np.asarray(w_ck, np.float64)), self._dtype
+            )
             rng = jnp.asarray(rng_state)
         else:
             if initial_states is None:
@@ -428,24 +566,24 @@ class CmeSolver:
             table = StateTable.from_states(
                 init, self.encoder, cfg.init_capacity, cfg.max_states
             )
-            w_np = np.zeros(table.capacity, dtype=np.float64)
-            rows = np.asarray(table.lookup_states(init))
-            w_np[rows] = p0
 
             # start-up expansion (KrylovSolver.f90:130-134)
             for _ in range(cfg.init_onestep_expansions):
                 table, _ = onestep_extend(table, self._stoich, cfg.max_states)
-            w_np = _repad(w_np, table.capacity)
-            w = self._put_row(w_np, self._dtype)
+            w_rows = np.zeros(table.n, dtype=np.float64)
+            rows = np.asarray(table.lookup_states(init))
+            w_rows[rows] = p0
 
-            op = self._operator(table)
+            self._choose_operator(table)
+            op, vl = self._operator(table)
+            w = self._put_row(vl.put(w_rows), self._dtype)
 
             # tolerance floor (KrylovSolver.f90:171)
             krytol = float(krylov_tol)
             if krytol <= EPS:
                 krytol = float(np.sqrt(EPS))
 
-            beta = float(np.linalg.norm(w_np))
+            beta = float(np.linalg.norm(w_rows))
             if beta == 0.0:
                 raise ValueError("initial probability vector is zero")
             carry = initial_carry(beta, abs(t), krytol, cfg.anorm, cfg.m_min)
@@ -460,7 +598,9 @@ class CmeSolver:
         iteration = 0
         last_ckpt = [int(carry.nstep)]
 
-        def maybe_checkpoint(table_, w_, carry_, rng_, keep=None):
+        def maybe_checkpoint(table_, w_rows_fn, carry_, rng_, keep=None):
+            # w_rows_fn: lazy () -> (n,) float64 table-row vector (the
+            # D2H + layout mapping only happens when a snapshot is due)
             if checkpoint_path is None:
                 return
             nstep = int(carry_.nstep)
@@ -468,7 +608,7 @@ class CmeSolver:
                 from .checkpoint import save_table_checkpoint
 
                 states_ck = np.asarray(table_.states[: table_.n])
-                w_ck = np.asarray(w_, dtype=np.float64)[: table_.n]
+                w_ck = w_rows_fn()
                 if keep is not None and not keep.all():
                     states_ck = states_ck[keep]
                     w_ck = w_ck[keep]
@@ -488,12 +628,12 @@ class CmeSolver:
             budget = cfg.max_steps_per_call
             if checkpoint_path is not None:
                 budget = min(budget, int(checkpoint_every))
-            table, w, carry, rng = self._solve_fused(
-                table, w, carry, rng, t, t_out, fsptol_j, krytol_j,
+            table, w_rows, carry, rng = self._solve_fused(
+                table, w, vl, carry, rng, t, t_out, fsptol_j, krytol_j,
                 stats, hard_cap, verbosity, wall0, op, maybe_checkpoint,
                 budget,
             )
-            return self._finalize(table, w, carry, stats, t, wall0)
+            return self._finalize(table, w_rows, carry, stats, t, wall0)
 
         while float(carry.t_now) < abs(t):
             iteration += 1
@@ -503,7 +643,7 @@ class CmeSolver:
                     f"exceeded {hard_cap} attempted steps (IFLAG=1 analog)"
                 )
 
-            active = jnp.arange(table.capacity) < table.n
+            active = vl.active0()
             if self._row is not None:
                 active = jax.device_put(active, self._row)
             res = self._step((op, active), w, carry, t_out, fsptol_j, krytol_j)
@@ -534,7 +674,7 @@ class CmeSolver:
                 mask, count, _ = drop_mask_device(
                     w64,
                     inflow64,
-                    jnp.asarray(table.n, jnp.int32),
+                    active,
                     jnp.asarray(dsum, jnp.float64),
                     droptol_start=cfg.droptol_start,
                     inflow_guard=cfg.inflow_guard,
@@ -558,17 +698,16 @@ class CmeSolver:
                 if count > cfg.drop_fraction * table.n and (
                     loss_rate <= rate_budget or pressure
                 ):
-                    keep = ~np.asarray(mask)[: table.n]
-                    w_rows = np.asarray(w, dtype=np.float64)[: table.n]
+                    keep = ~vl.keep_rows(np.asarray(mask))
+                    w_rows = vl.take(w)
                     dropped_mass = float(w_rows[~keep].sum())
-                    w_kept = np.asarray(w)[: table.n][keep]
+                    w_kept = w_rows[keep]
                     table, _ = table.compact(keep)
-                    w_np = _repad(w_kept, table.capacity)
-                    w = self._put_row(w_np, self._dtype)
-                    op = self._operator(table)
+                    op, vl = self._operator(table)
+                    w = self._put_row(vl.put(w_kept), self._dtype)
                     dropped = count
                     stats.n_drops += 1
-                    beta_new = float(np.linalg.norm(w_np))
+                    beta_new = float(np.linalg.norm(w_kept))
                     carry = carry._replace(
                         beta=jnp.asarray(beta_new, jnp.float64),
                         hump=jnp.maximum(carry.hump, beta_new),
@@ -579,6 +718,7 @@ class CmeSolver:
             if iexpand and float(carry.t_now) < abs(t):
                 rng, sub = jax.random.split(rng)
                 n_before = table.n
+                w_rows = vl.take(w)
                 table, _ = ssa_extend(
                     table,
                     self._props_fn,
@@ -589,19 +729,21 @@ class CmeSolver:
                     cfg.max_states,
                 )
                 table, _ = onestep_extend(table, self._stoich, cfg.max_states)
-                if table.capacity != len(w_np):
-                    # capacity bucket grew: re-pad (the only case that
-                    # needs a D2H round-trip; new states carry probability
-                    # zero, which the existing padding already encodes)
-                    w_np = _repad(
-                        np.asarray(w)[: min(len(np.asarray(w)),
-                                            table.capacity)],
-                        table.capacity,
+                if table.n != n_before:
+                    w_rows = np.concatenate(
+                        [w_rows, np.zeros(table.n - n_before)]
                     )
-                    w = self._put_row(w_np, self._dtype)
-                    op = self._operator(table)
-                elif table.n != n_before:
-                    op = self._operator(table)
+                    op, vl_new = self._operator(table)
+                    if not (
+                        isinstance(vl, _EllVec)
+                        and isinstance(vl_new, _EllVec)
+                        and vl_new.cells == vl.cells
+                    ):
+                        # layout changed (pencil re-slotting or capacity
+                        # growth): re-place the vector; appended states
+                        # carry probability zero
+                        w = self._put_row(vl_new.put(w_rows), self._dtype)
+                    vl = vl_new
                 stats.n_expansions += 1
 
             rec = StepRecord(
@@ -621,11 +763,11 @@ class CmeSolver:
             stats.records.append(rec)
             if verbosity:
                 print(rec.format(), flush=True)
-            maybe_checkpoint(table, w, carry, rng)
+            maybe_checkpoint(table, lambda: vl.take(w), carry, rng)
 
-        return self._finalize(table, w, carry, stats, t, wall0)
+        return self._finalize(table, vl.take(w), carry, stats, t, wall0)
 
-    def _finalize(self, table, w, carry, stats, t, wall0) -> SolveResult:
+    def _finalize(self, table, w_rows, carry, stats, t, wall0) -> SolveResult:
         # ---- final statistics (KrylovSolver.f90:554-573) ---------------
         stats.nmult = int(carry.nmult)
         stats.nexph = int(carry.nexph)
@@ -649,7 +791,7 @@ class CmeSolver:
 
         # report clipped probabilities (the f32 path keeps the signed
         # vector in-solve to avoid accumulating clip bias)
-        w_final = np.maximum(np.asarray(w, dtype=np.float64)[: table.n], 0.0)
+        w_final = np.maximum(np.asarray(w_rows, dtype=np.float64), 0.0)
         return SolveResult(
             states=np.asarray(table.states[: table.n]),
             probabilities=w_final,
@@ -659,7 +801,7 @@ class CmeSolver:
         )
 
     def _solve_fused(
-        self, table, w, carry, rng, t, t_out, fsptol_j, krytol_j,
+        self, table, w, vl, carry, rng, t, t_out, fsptol_j, krytol_j,
         stats, hard_cap, verbosity, wall0, op, maybe_checkpoint, budget,
     ):
         """Fused device main loop for the table backend: many attempted
@@ -678,13 +820,14 @@ class CmeSolver:
         total_attempted = 0
 
         def make_active():
-            a = jnp.arange(table.capacity) < table.n
+            a = vl.active0()
             return a if self._row is None else jax.device_put(a, self._row)
 
         active = make_active()
         while True:
-            adv = self._advance(table.capacity, budget)
-            self._warm_next_bucket(table.capacity, budget)
+            adv = self._advance(vl.cells, budget)
+            if isinstance(vl, _EllVec):
+                self._warm_next_bucket(vl.cells, budget)
             seg0 = time.perf_counter()
             st = adv(op, w, active, carry, t_out, fsptol_j, krytol_j)
             w, active, carry = st.w, st.active, st.carry
@@ -714,8 +857,8 @@ class CmeSolver:
                 stats.records.append(rec)
                 if verbosity:
                     print(rec.format(), flush=True)
-            keep = np.asarray(active)[: table.n]
-            maybe_checkpoint(table, w, carry, rng, keep)
+            keep = vl.keep_rows(np.asarray(active))
+            maybe_checkpoint(table, lambda: vl.take(w), carry, rng, keep)
             event = int(st.event)
             if event == EVENT_FAIL:
                 if int(carry.iflag) == 3:
@@ -742,14 +885,14 @@ class CmeSolver:
                 # 1-step expansion and operator rebuild
                 # (KrylovSolver.f90:516-534)
                 n_before = table.n
-                w_np = np.asarray(w, dtype=np.float64)[: table.n]
+                w_rows = vl.take(w)
                 # device-state invariant: every path out of the stepper
                 # leaves ~unit mass (accepted steps satisfy the FSP
                 # criterion; abandoned steps revert to beta*v1).  A gross
                 # violation means the device state was corrupted (e.g. a
                 # second client on a remote TPU tunnel) — fail loudly
                 # instead of spiraling through ever-larger expansions.
-                wsum_host = float(w_np.sum())
+                wsum_host = float(w_rows.sum())
                 if not (0.5 < wsum_host < 1.5):
                     raise RuntimeError(
                         f"probability mass {wsum_host:.6g} at a host "
@@ -760,9 +903,8 @@ class CmeSolver:
                     )
                 compacted = not keep.all()
                 if compacted:
-                    w_kept = w_np[keep]
+                    w_rows = w_rows[keep]
                     table, _ = table.compact(keep)
-                    w_np = _repad(w_kept, table.capacity)
                 rng, sub = jax.random.split(rng)
                 table, added_ssa = ssa_extend(
                     table,
@@ -785,24 +927,33 @@ class CmeSolver:
                         + (" [compacted]" if compacted else ""),
                         flush=True,
                     )
-                if compacted or table.n != n_before or table.capacity != len(
-                    np.asarray(w)
-                ):
-                    w_np = _repad(w_np, table.capacity)
-                    w = self._put_row(w_np, self._dtype)
-                    op = self._operator(table)
+                if compacted or table.n != len(w_rows):
+                    w_rows = np.concatenate(
+                        [w_rows, np.zeros(table.n - len(w_rows))]
+                    )
+                    op, vl_new = self._operator(table)
+                    if compacted or not (
+                        isinstance(vl, _EllVec)
+                        and isinstance(vl_new, _EllVec)
+                        and vl_new.cells == vl.cells
+                    ):
+                        # re-place the vector unless the row layout is
+                        # unchanged (ELL append within the same bucket:
+                        # appended states already read as zero padding)
+                        w = self._put_row(vl_new.put(w_rows), self._dtype)
+                    vl = vl_new
                 active = make_active()
                 stats.n_expansions += 1
             # EVENT_BUDGET: stream records / checkpoint and re-enter
 
         # drop soft-dropped rows from the final table (their probability
         # is already zero; the legacy path compacts at drop time)
-        keep = np.asarray(active)[: table.n]
+        keep = vl.keep_rows(np.asarray(active))
+        w_rows = vl.take(w)
         if not keep.all():
-            w_kept = np.asarray(w, dtype=np.float64)[: table.n][keep]
+            w_rows = w_rows[keep]
             table, _ = table.compact(keep)
-            w = self._put_row(_repad(w_kept, table.capacity), self._dtype)
-        return table, w, carry, rng
+        return table, w_rows, carry, rng
 
 
 def solve_cme(
@@ -828,7 +979,3 @@ def solve_cme(
     )
 
 
-def _repad(v: np.ndarray, capacity: int) -> np.ndarray:
-    out = np.zeros(capacity, dtype=np.float64)
-    out[: min(len(v), capacity)] = v[:capacity]
-    return out

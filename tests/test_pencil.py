@@ -126,3 +126,51 @@ def test_pencil_layout_multirow():
     r, l = np.divmod(layout.slot_of_state, LANES)
     M = layout.row_block[r] * LANES + l
     np.testing.assert_array_equal(M, states[:, 0])
+
+
+def test_pencil_solver_e2e_matches_ell():
+    """Full adaptive solves on the pencil operator (table_operator=
+    "pencil") must agree with the gather-ELL default within solver
+    error: same algorithm, same FSP decisions, different SpMV layout."""
+    from krylovfspssa_tpu.config import SolverConfig
+    from krylovfspssa_tpu.solver import solve_cme
+
+    for model_fn, t, x0 in (
+        (bursting_gene_model, 20.0, [[0, 0]]),
+        (toggle_file_model, 30.0, [[0, 0]]),
+    ):
+        model = model_fn()
+        kw = dict(fsp_tol=1e-4, krylov_tol=1e-10)
+        r_ell = solve_cme(model, t, x0,
+                          config=SolverConfig(table_operator="ell"), **kw)
+        r_pen = solve_cme(model, t, x0,
+                          config=SolverConfig(table_operator="pencil"), **kw)
+        assert r_pen.wsum >= 1.0 - 1e-4
+        assert r_pen.wsum == pytest.approx(r_ell.wsum, abs=1e-6)
+        d = {tuple(s): p for s, p in zip(r_ell.states, r_ell.probabilities)}
+        for s, p in zip(r_pen.states, r_pen.probabilities):
+            if p > 1e-9:
+                assert d.get(tuple(s), 0.0) == pytest.approx(p, abs=1e-6)
+
+
+def test_pencil_solver_stepwise_and_checkpoint(tmp_path):
+    """Pencil path under fused_steps=False, and checkpoint/resume."""
+    from krylovfspssa_tpu.config import SolverConfig
+    from krylovfspssa_tpu.solver import CmeSolver
+
+    model = bursting_gene_model()
+    cfg = SolverConfig(table_operator="pencil", fused_steps=False)
+    full = CmeSolver(model, cfg).solve(
+        20.0, [[0, 0]], fsp_tol=1e-4, krylov_tol=1e-8
+    )
+    assert full.wsum >= 1.0 - 1e-4
+
+    path = str(tmp_path / "pencil_ck.npz")
+    cfg2 = SolverConfig(table_operator="pencil")
+    CmeSolver(model, cfg2).solve(
+        20.0, [[0, 0]], fsp_tol=1e-4, krylov_tol=1e-8,
+        checkpoint_path=path, checkpoint_every=5,
+    )
+    resumed = CmeSolver(model, cfg2).solve(20.0, resume_from=path)
+    assert resumed.stats.t_final >= 20.0
+    assert resumed.wsum == pytest.approx(full.wsum, abs=1e-5)
