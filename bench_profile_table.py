@@ -32,7 +32,10 @@ def timed(name, fn, block=False):
         t0 = time.perf_counter()
         r = fn(*a, **k)
         if block:
-            jax.block_until_ready(r)
+            # _operator returns (op, vector-layout); the layout is a
+            # host object block_until_ready cannot traverse
+            blockable = r[0] if name == "build_op" else r
+            jax.block_until_ready(blockable)
         dt = time.perf_counter() - t0
         e = PHASES[name]
         e[0] += 1

@@ -37,20 +37,22 @@ def main():
     cfg = SolverConfig(dtype="float64", verbosity=2, fused_steps=False)
     solver = CmeSolver(model, cfg)
 
+    # NOTE (round-5 resolution): the crash was root-caused to a too-long
+    # fused dispatch tripping the remote execution watchdog (~160 ms
+    # serialized-gather matvecs x 10-step budget), not a numeric blowup;
+    # this harness is kept for future numeric autopsies.
     orig_operator = solver._operator
 
     def probed_operator(table):
-        op = orig_operator(table)
+        op, vl = orig_operator(table)
         diag = np.asarray(op.diag)
-        props = np.asarray(op.props)
         print(
-            f"[probe] n={table.n} cap={table.capacity} "
+            f"[probe] n={table.n} cells={vl.cells} "
             f"diag max={diag.max():.6g} min={diag.min():.6g} "
-            f"nan={np.isnan(diag).any()} "
-            f"props max={props.max():.6g} nan={np.isnan(props).any()}",
+            f"nan={np.isnan(diag).any()}",
             flush=True,
         )
-        return op
+        return op, vl
 
     solver._operator = probed_operator
 

@@ -73,6 +73,8 @@ def cmd_solve(args) -> int:
         cfg_kwargs["dtype"] = args.dtype
     if args.no_fused:
         cfg_kwargs["fused_steps"] = False
+    if getattr(args, "table_operator", None):
+        cfg_kwargs["table_operator"] = args.table_operator
     config = SolverConfig(**cfg_kwargs)
 
     mesh = None
@@ -264,6 +266,13 @@ def main(argv=None) -> int:
                     "devices of all processes (run one process per host)")
     ps.add_argument("--no-fused", action="store_true",
                     help="disable the fused device main loop")
+    ps.add_argument("--table-operator", choices=("auto", "ell", "pencil"),
+                    help="table-backend operator representation: ell = "
+                    "reference-format gather-ELL; pencil = support-"
+                    "adapted row-gather + lane-shift (no per-element "
+                    "gathers — the TPU fast path for large supports); "
+                    "auto (default) picks pencil on single-device TPU "
+                    "solves when the layout stays efficient")
     ps.add_argument("-v", "--verbose", action="count", default=0)
     ps.add_argument("-o", "--output", help="save result to .npz")
     ps.add_argument("--json", action="store_true",
