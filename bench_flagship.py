@@ -32,7 +32,21 @@ def main():
     ap.add_argument("--t", type=float, default=300.0)
     ap.add_argument("--fsp-tol", type=float, default=1e-6)
     ap.add_argument("--krylov-tol", type=float, default=1e-8)
+    ap.add_argument("--ckpt", default=None,
+                    help="checkpoint path override (comparative legs)")
+    ap.add_argument("--tag", default=None,
+                    help="suffix for the steps/summary artifact names")
+    ap.add_argument("--table-operator", default=None,
+                    choices=("auto", "ell", "pencil"))
+    ap.add_argument("--steps-per-call", type=int, default=1)
     args = ap.parse_args()
+
+    global CKPT, STEPS, SUMMARY
+    if args.ckpt:
+        CKPT = args.ckpt
+    if args.tag:
+        STEPS = f"flagship_{args.tag}_steps.jsonl"
+        SUMMARY = f"flagship_{args.tag}.json"
 
     import jax
 
@@ -52,7 +66,13 @@ def main():
     # remote execution watchdog (~4 min), deterministically at the
     # tau=2.5 rejection cascade after that expansion.  Single-step
     # dispatches stay ~16-50 s; the extra host re-entry costs ~27 ms.
-    cfg = SolverConfig(dtype="float64", verbosity=1, max_steps_per_call=1)
+    cfg_kw = dict(
+        dtype="float64", verbosity=1,
+        max_steps_per_call=args.steps_per_call,
+    )
+    if args.table_operator:
+        cfg_kw["table_operator"] = args.table_operator
+    cfg = SolverConfig(**cfg_kw)
     solver = CmeSolver(model, cfg)
 
     # stream step records to disk as they arrive
@@ -84,6 +104,7 @@ def main():
     summary = {
         "model": "goutsias (examples/transcr6d.f90)",
         "backend": "table-fused",
+        "table_operator": cfg.table_operator,
         "dtype": "float64",
         "t": s.t_final,
         "fsp_tol": args.fsp_tol,
