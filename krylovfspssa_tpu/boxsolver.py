@@ -245,7 +245,13 @@ class BoxCmeSolver:
             step = make_step_fn(
                 lambda mask: (lambda x: matvec(mask, x)),
                 self._geometry_config(box),
-                op_info=lambda mask: (jnp.sum(mask).astype(jnp.int32), R),
+                op_info=lambda mask: (
+                    jnp.sum(mask).astype(jnp.int32),
+                    R,
+                    # operator-norm proxy for the scaled breakdown
+                    # threshold (see stepper.py)
+                    2.0 * jnp.max(jnp.where(mask, diag(mask), 0.0)),
+                ),
             )
 
             def dilate_n(m, k):

@@ -145,6 +145,8 @@ def make_masked_table_step(config: SolverConfig):
         op_info=lambda oa: (
             jnp.sum(oa[1]).astype(jnp.int32),
             operator_nreactions(oa[0]),
+            # operator-norm proxy for the scaled breakdown threshold
+            2.0 * jnp.max(jnp.where(oa[1], oa[0].diag, 0.0)),
         ),
     )
 
@@ -359,10 +361,15 @@ def make_advance_fn(
     """
     matvec = select_stencil_matvec(model, box, config, dtype, mesh=mesh)
     R = model.n_reactions
+    _diag_for_norm = make_diag_fn(model, box, jnp.float64)
     step = make_step_fn(
         lambda mask: (lambda x: matvec(mask, x)),
         config,
-        op_info=lambda mask: (jnp.sum(mask).astype(jnp.int32), R),
+        op_info=lambda mask: (
+            jnp.sum(mask).astype(jnp.int32),
+            R,
+            2.0 * jnp.max(jnp.where(mask, _diag_for_norm(mask), 0.0)),
+        ),
     )
     droptol_start = config.droptol_start
     inflow_guard = config.inflow_guard

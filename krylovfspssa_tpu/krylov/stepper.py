@@ -202,13 +202,40 @@ def make_step_fn(
         expm_fn = expm_pade
 
     if op_info is None:
-        op_info = lambda op: (op.n, op.props.shape[1])  # noqa: E731
+        op_info = lambda op: (  # noqa: E731
+            op.n, op.props.shape[1], 2.0 * jnp.max(op.diag)
+        )
 
     def step(op, w, sc: StepCarry, t_out, fsptol, krytol) -> StepResult:
         matvec = matvec_builder(op)
         f = w.dtype
         cap = w.shape[0]
-        n, n_reactions = op_info(op)
+        info = op_info(op)
+        if len(info) == 3:
+            n, n_reactions, anorm_est = info
+        else:
+            n, n_reactions = info
+            anorm_est = 1.0
+        # happy-breakdown threshold scaled to the OPERATOR norm.  The
+        # reference's absolute BREAK_TOL=1e-7 (KrylovSolver.f90:173,249)
+        # assumes ||A|| ~ O(1); CME generators have ||A|| ~ 1e2-1e5, so
+        # the near-breakdown Arnoldi residual — numerical dust amplified
+        # by ||A|| — can sit just ABOVE an absolute 1e-7 forever.
+        # Measured on TPU (toggle, quasi-stationary): h_{2,1} = 1.5e-7
+        # vs CPU ~1e-8 for the same math; with IOP q=2 the post-near-
+        # breakdown columns then explode to O(||A||) garbage, every
+        # larger-tau attempt reads a huge error, and the controller
+        # throttles at ~3x the step count (413 vs 134 on toggle t=200).
+        # Scale factor 0.1 * anorm_est (anorm_est ~ 2*max diag): wide
+        # margin over the measured platform dust (~5e-10 * ||A||) while
+        # staying far below real slow-mode amplitudes — a 2*max_diag
+        # scale proved TOO loose (declared "breakdown" on 3e-5-level
+        # real dynamics and took a tau=143 jump with a 3.6e-4 mass
+        # overshoot).  The two-sided FSP criterion below is the
+        # backstop for any remaining over-eager breakdown.
+        break_eff = break_tol * jnp.maximum(
+            1.0, 0.1 * jnp.asarray(anorm_est, jnp.float64)
+        )
         n = jnp.asarray(n, jnp.int32)
         nnz = (n_reactions + 1) * n  # KrylovSolver.f90:196,537
         nf = n.astype(f)
@@ -314,7 +341,7 @@ def make_step_fn(
             # ---- Arnoldi phase (labels 101-300) -------------------------
             def run_arnoldi(a: A) -> A:
                 st = arnoldi_extend(
-                    matvec, a.V, a.H, a.jold, a.m, qiop, break_tol
+                    matvec, a.V, a.H, a.jold, a.m, qiop, break_eff
                 )
                 k1 = jnp.where(st.breakdown, 0, 2).astype(jnp.int32)
                 t_step = jnp.where(
@@ -546,15 +573,19 @@ def make_step_fn(
             nreject=jnp.asarray(0, jnp.int32),
             nanfail=jnp.asarray(False),
         )
-        if mxreject > 0:
-            # bounded rejection loop (KrylovSolver.f90:392-397): exceeding
-            # mxreject rejections within one attempted step aborts with
-            # IFLAG=2 instead of spinning forever on device
-            attempt_cond = lambda a: (~a.accept) & (~a.nanfail) & (  # noqa: E731
-                a.ireject + a.imreject <= mxreject
-            )
-        else:
-            attempt_cond = lambda a: (~a.accept) & (~a.nanfail)  # noqa: E731
+        # The reference's rejection loop is an unbounded GOTO
+        # (MXREJECT=0 default, KrylovSolver.f90:392-397) — acceptable on
+        # a debuggable host, but an unbounded DEVICE loop turns any
+        # knife-edge controller cycle into a remote-watchdog worker
+        # kill.  Cap attempts at max(mxreject, 512): 512 rejections mean
+        # tau has shrunk by >= 5^many with the error still not meeting
+        # the tolerance — genuinely stuck, surfaced as IFLAG=2.
+        hard_attempts = mxreject if mxreject > 0 else 512
+        attempt_cond = lambda a: (  # noqa: E731
+            (~a.accept)
+            & (~a.nanfail)
+            & (a.ireject + a.imreject <= hard_attempts)
+        )
         a = jax.lax.while_loop(attempt_cond, attempt_body, a0)
         #: rejection-budget exhaustion (mxreject > 0) or persistent NaN
         fail = (~a.accept) | a.nanfail
@@ -636,15 +667,25 @@ def make_step_fn(
                 )
                 return fc._replace(wsum=wsum, ok=ok)
             w_c = assemble_w(fc.E)
-            # mass criterion always accumulates in float64
+            # mass criterion always accumulates in float64.  TWO-SIDED:
+            # the reference checks only wsum >= 1 - bound
+            # (KrylovSolver.f90:458) because in exact arithmetic CME mass
+            # can only LEAK; a numerically garbage step (e.g. an
+            # over-eager breakdown jump) can OVERSHOOT 1, which the
+            # one-sided check would happily accept.  True mass never
+            # exceeds 1, so an overshoot beyond the same budget is
+            # equally disqualifying and triggers the same tau shrink.
             wsum = jnp.sum(w_c.astype(jnp.float64))
-            ok = wsum >= (1.0 - bound(sc.t_now + fc.t_step))
+            b = bound(sc.t_now + fc.t_step)
+            ok = (wsum >= 1.0 - b) & (wsum <= 1.0 + b)
             return fc._replace(w=w_c, wsum=wsum, ok=ok)
 
         def fsp_body(fc: FC) -> FC:
             # criterion failed: shrink the step via the FSP order model
             irejectfsp = fc.irejectfsp + 1
-            error = (
+            # magnitude of the mass defect drives the shrink-order model
+            # (an overshoot rejection has negative raw loss)
+            error = jnp.abs(
                 (wsum_start - fc.wsum) if crit_floor
                 else sc.wsum_old - fc.wsum
             )
