@@ -408,7 +408,12 @@ def make_step_fn(
 
             # ---- omega + order/kappa estimation (312-337) ---------------
             omega_old = a.omega
-            omega = err_loc / (krytol * t_step)
+            # floor: err_loc can underflow to EXACTLY 0 (observed on TPU
+            # — E[m,0] of a superlinearly-converged step), and the
+            # order estimator's log(omega/omega_old) would then be
+            # log(0/0) = NaN after a rejection, poisoning t_new and the
+            # whole subsequent step (intermittent iflag=3 failures)
+            omega = jnp.maximum(err_loc, 1e-300) / (krytol * t_step)
 
             use_order_est = (
                 (a.m == a.m_old) & (t_step != a.t_old) & (a.ireject >= 1)

@@ -596,6 +596,7 @@ class CmeSolver:
         stats = SolverStats()
         hard_cap = cfg.mxstep if cfg.mxstep > 0 else 1_000_000
         iteration = 0
+        nan_resets = 0
         last_ckpt = [int(carry.nstep)]
 
         def maybe_checkpoint(table_, w_rows_fn, carry_, rng_, keep=None):
@@ -649,12 +650,27 @@ class CmeSolver:
             res = self._step((op, active), w, carry, t_out, fsptol_j, krytol_j)
             w, carry = res.w, res.carry
             if int(carry.iflag) == 3:
-                raise RuntimeError(
-                    "local Krylov error stayed NaN through the bounded "
-                    "tau/5 retry (iflag=3) — basis/H numerically "
-                    "corrupted (inf/NaN propensity, overscaled expm, or "
-                    "device-state corruption); inspect the operator"
-                )
+                # persistent-NaN step (poisoned controller scalars, e.g.
+                # a NaN t_new from degenerate adaptivity history).  The
+                # probability vector is CLEAN on this path (the stepper
+                # reverts w to beta*v1), so sanitize the carry from w
+                # and retry; only a repeat failure is fatal.
+                carry = self._sanitize_carry(carry, w, t_out, krytol_j)
+                nan_resets += 1
+                if nan_resets > 5:
+                    raise RuntimeError(
+                        "local Krylov error stayed NaN through the "
+                        "bounded tau/5 retry (iflag=3) five times — "
+                        "basis/H numerically corrupted (inf/NaN "
+                        "propensity, overscaled expm, or device-state "
+                        "corruption); inspect the operator"
+                    )
+                if verbosity:
+                    print(
+                        f"NaN step at t={float(carry.t_now):g}; "
+                        "controller state reset", flush=True,
+                    )
+                continue
             if int(carry.iflag) == 2:
                 raise RuntimeError(
                     f"step rejected more than mxreject={cfg.mxreject} times "
@@ -767,6 +783,39 @@ class CmeSolver:
 
         return self._finalize(table, vl.take(w), carry, stats, t, wall0)
 
+    def _sanitize_carry(self, carry, w, t_out, krytol_j):
+        """Rebuild the controller scalars of a NaN-poisoned carry from
+        the (clean) probability vector: fresh step size, reset
+        adaptivity history, counters preserved."""
+        import math
+
+        from .krylov.stepper import first_stepsize
+
+        cfg = self.config
+        beta = float(jnp.sqrt(jnp.sum(w.astype(jnp.float64) ** 2)))
+        fresh = initial_carry(
+            beta, abs(float(t_out)) - float(carry.t_now),
+            float(krytol_j), cfg.anorm, cfg.m_min,
+        )
+
+        def pick(cur, fb):
+            c = float(cur)
+            return cur if math.isfinite(c) else fb
+
+        return carry._replace(
+            t_new=pick(carry.t_new, fresh.t_new),
+            beta=jnp.asarray(beta, jnp.float64),
+            m_new=carry.m_new,
+            omega=fresh.omega,
+            t_old=fresh.t_old,
+            m_old=fresh.m_old,
+            order=fresh.order,
+            kfactor=fresh.kfactor,
+            orderold=fresh.orderold,
+            kestold=fresh.kestold,
+            iflag=jnp.asarray(0, jnp.int32),
+        )
+
     def _finalize(self, table, w_rows, carry, stats, t, wall0) -> SolveResult:
         # ---- final statistics (KrylovSolver.f90:554-573) ---------------
         stats.nmult = int(carry.nmult)
@@ -818,6 +867,7 @@ class CmeSolver:
 
         cfg = self.config
         total_attempted = 0
+        nan_resets = 0
 
         def make_active():
             a = vl.active0()
@@ -862,11 +912,26 @@ class CmeSolver:
             event = int(st.event)
             if event == EVENT_FAIL:
                 if int(carry.iflag) == 3:
+                    # recoverable: sanitize the poisoned controller
+                    # scalars from the clean vector and re-enter (see
+                    # the stepwise path)
+                    nan_resets += 1
+                    if nan_resets <= 5:
+                        carry = self._sanitize_carry(
+                            carry, w, t_out, krytol_j
+                        )
+                        if verbosity:
+                            print(
+                                f"NaN step at t={float(carry.t_now):g}; "
+                                "controller state reset", flush=True,
+                            )
+                        continue
                     raise RuntimeError(
                         "local Krylov error stayed NaN through the bounded "
-                        "tau/5 retry (iflag=3) — basis/H numerically "
-                        "corrupted (inf/NaN propensity, overscaled expm, or "
-                        "device-state corruption); inspect the operator"
+                        "tau/5 retry (iflag=3) five times — basis/H "
+                        "numerically corrupted (inf/NaN propensity, "
+                        "overscaled expm, or device-state corruption); "
+                        "inspect the operator"
                     )
                 raise RuntimeError(
                     f"step rejected more than mxreject={cfg.mxreject} times "
