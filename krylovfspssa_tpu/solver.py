@@ -875,6 +875,11 @@ class CmeSolver:
 
         active = make_active()
         while True:
+            # resume-at-completion (t_now >= t_out, e.g. a checkpoint
+            # written on the final step): nothing to integrate — a tau=0
+            # attempt is degenerate (omega = err/0)
+            if float(carry.t_now) >= abs(float(t)):
+                break
             adv = self._advance(vl.cells, budget)
             if isinstance(vl, _EllVec):
                 self._warm_next_bucket(vl.cells, budget)
